@@ -625,18 +625,65 @@ def reset(cfg: Config, key) -> Tuple[EnvState, Observation]:
     return state, obs
 
 
-def step(cfg: Config, state: EnvState, action, phase: str = "train"
+def scripted_robot_action(cfg: Config, state: EnvState, policy: str):
+    """ORCA / social-force robot baselines acting on the belief states
+    (crowd_sim_var_num.py:371-375; CrowdSimPred ORCA variant uses the truth
+    future rollout as extra neighbors, crowd_sim_pred.py:105-116)."""
+    A = cfg.sim.max_human_num
+    active = _active_mask(cfg, state.human_num)
+    beliefs = state.last_human_states                       # (A, 5)
+    goal_vec = state.robot.goal - state.robot.pos
+    speed = jnp.linalg.norm(goal_vec)
+    pref_vel = jnp.where(speed > 1.0, goal_vec / jnp.maximum(speed, 1e-9),
+                         goal_vec)
+    inflate = 0.01 + cfg.orca.safety_space
+    if policy == "orca":
+        if cfg.sim.predict_method == "none":
+            nbr_pos, nbr_vel = beliefs[:, :2], beliefs[:, 2:4]
+            nbr_radius = beliefs[:, 4] + inflate
+            nbr_mask = active
+        else:
+            # each predicted future position becomes an extra neighbor
+            future = calc_human_future_traj(cfg, state, state.visible_masks,
+                                            "truth")         # (K+1, A, 4)
+            nbr_pos = future[:, :, :2].reshape(-1, 2)
+            nbr_vel = future[:, :, 2:].reshape(-1, 2)
+            nbr_radius = jnp.tile(beliefs[:, 4], future.shape[0]) + inflate
+            nbr_mask = jnp.tile(active, future.shape[0])
+        params = OrcaParams(cfg.env.time_step, cfg.orca.time_horizon,
+                            state.orca_neighbor_dist)
+        return orca_velocity(state.robot.pos, state.robot.vel,
+                             state.robot.radius + inflate, state.robot.v_pref,
+                             pref_vel, nbr_pos, nbr_vel, nbr_radius, nbr_mask,
+                             params)
+    elif policy == "social_force":
+        return social_force_velocity(
+            state.robot.pos, state.robot.vel, state.robot.radius,
+            state.robot.goal, state.robot.v_pref, beliefs[:, :2],
+            beliefs[:, 4], active, cfg.sf.A, cfg.sf.B, cfg.sf.KI,
+            cfg.env.time_step)
+    raise ValueError(policy)
+
+
+def step(cfg: Config, state: EnvState, action, phase: str = "train",
+         robot_policy: str = "network"
          ) -> Tuple[EnvState, Observation, jnp.ndarray, jnp.ndarray, StepInfo]:
     """One control step (crowd_sim_var_num.py:366-460 / crowd_sim_pred.py:100-213).
 
     ``action``: raw policy output (vx, vy) for holonomic or (dv, dtheta) for
-    unicycle; clipping happens here (srnn.py:17-44).
+    unicycle; clipping happens here (srnn.py:17-44). ``robot_policy``:
+    'network' uses ``action``; 'orca'/'social_force' run the scripted
+    baselines on the robot's belief states (ignoring ``action``).
     """
     key, k_dyn = jax.random.split(state.key)
     state = state.replace(key=key)
     unicycle = cfg.action_space.kinematics == "unicycle"
 
-    if unicycle:
+    if robot_policy != "network":
+        action = scripted_robot_action(cfg, state, robot_policy)
+        a = action
+        action_v, action_r = jnp.linalg.norm(a), jnp.float32(0.0)
+    elif unicycle:
         a = kinematics.clip_unicycle_action(action)
         desired_v = jnp.clip(state.desired_velocity + a[0],
                              -state.robot.v_pref, state.robot.v_pref)

