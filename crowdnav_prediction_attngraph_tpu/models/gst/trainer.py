@@ -1,0 +1,194 @@
+"""Offline GST predictor training (reference
+gst_updated/scripts/experiments/train.py:17-195).
+
+TPU-first redesign: padded fixed-shape batches (the reference forces
+batch_size=1 variable-ped graphs), one jitted train step, optax Adam with the
+reference's StepLR(gamma=.3 every temp_epochs/4) schedule, linear Gumbel
+temperature annealing to 0.03 (temperature_scheduler.py:1-20), NLL or
+deterministic offset loss, aoe/foe validation metrics, orbax checkpoints with
+full optimizer state + temperature (matching the reference's resume support).
+
+Usage:
+  python -m crowdnav_prediction_attngraph_tpu.models.gst.trainer \
+      --data-dir data/orca_20humans --epochs 100 --out results/gst_run
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import time
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ...config import PredConfig
+from . import dataset as ds
+from .losses import negative_log_likelihood, offset_error_square, offset_errors
+from .st_model import STModel
+
+
+def temperature(epoch: int, temp_epochs: int, init_temp: float,
+                temp_min: float = 0.03) -> float:
+    """Linear annealing (temperature_scheduler.py:12-20)."""
+    t = (1.0 - epoch / temp_epochs) * (init_temp - temp_min) + temp_min
+    return max(t, temp_min)
+
+
+def make_optimizer(lr: float, temp_epochs: int, steps_per_epoch: int,
+                   clip_grad: float | None = None):
+    """Adam + StepLR(step=temp_epochs/4, gamma=0.3) (gst train.py:56-57)."""
+    boundaries = {}
+    step_size = max(int(temp_epochs / 4), 1) * steps_per_epoch
+    for k in range(1, 5):
+        boundaries[k * step_size] = 0.3
+    sched = optax.piecewise_constant_schedule(lr, boundaries)
+    chain = [optax.scale_by_adam(), optax.scale_by_learning_rate(sched)]
+    if clip_grad is not None:
+        chain.insert(0, optax.clip_by_global_norm(clip_grad))
+    return optax.chain(*chain)
+
+
+def loss_fn(cfg: PredConfig, params, batch, tau, key, deterministic_loss):
+    model = STModel(cfg)
+    obs = cfg.obs_seq_len
+    v_obs = batch["v"][:, :obs]
+    A_obs = batch["A"][:, :obs]
+    attn_obs = batch["attn_mask"][:, :obs]
+    lm_rel = batch["loss_mask_rel"]
+    v_pred_gt = batch["v"][:, obs:]
+    gp, x_sample = model.apply(params, v_obs, A_obs, attn_obs, lm_rel,
+                               tau, False, False, key)
+    lm_fp = lm_rel[:, :, obs - 1]
+    lm_pred = lm_rel[:, :, obs:]
+    if deterministic_loss:
+        err, mask = offset_error_square(x_sample, v_pred_gt, lm_fp, lm_pred)
+        loss = jnp.sum(err) / jnp.maximum(jnp.sum(mask), 1.0)
+    else:
+        nll, mask = negative_log_likelihood(gp, v_pred_gt, lm_fp, lm_pred)
+        loss = jnp.sum(nll) / jnp.maximum(jnp.sum(mask), 1.0)
+    # metrics over fully-observed pedestrians (gst train.py:136-138)
+    full = (jnp.sum(batch["loss_mask_rel"], axis=2)
+            == batch["loss_mask_rel"].shape[2]).astype(jnp.float32)
+    aoe, foe = offset_errors(x_sample, v_pred_gt, full)
+    denom = jnp.maximum(jnp.sum(full), 1.0)
+    return loss, (jnp.sum(aoe) / denom, jnp.sum(foe) / denom)
+
+
+def make_train_step(cfg: PredConfig, tx, deterministic_loss: bool):
+    @jax.jit
+    def step(params, opt_state, batch, tau, key):
+        (loss, (aoe, foe)), grads = jax.value_and_grad(
+            loss_fn, argnums=1, has_aux=True)(cfg, params, batch, tau, key,
+                                              deterministic_loss)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss, aoe, foe
+
+    return step
+
+
+def make_eval_step(cfg: PredConfig, deterministic_loss: bool):
+    @jax.jit
+    def step(params, batch, tau, key):
+        loss, (aoe, foe) = loss_fn(cfg, params, batch, tau, key,
+                                   deterministic_loss)
+        return loss, aoe, foe
+
+    return step
+
+
+def init_params(cfg: PredConfig, key, max_peds: int):
+    L, K, A = cfg.obs_seq_len, cfg.pred_seq_len, max_peds
+    model = STModel(cfg)
+    return model.init(key, jnp.zeros((1, L, A, 2)), jnp.zeros((1, L, A, A, 2)),
+                      jnp.ones((1, L, A, A)), jnp.ones((1, A, L + K)),
+                      0.5, False, False)
+
+
+def train(cfg: PredConfig, train_windows, val_windows, out_dir: str,
+          epochs: int = 100, temp_epochs: int = 100, lr: float = 1e-3,
+          batch_size: int = 16, init_temp: float = 0.5, seed: int = 1000,
+          deterministic_loss: bool = False, save_epochs: int = 10,
+          max_peds: int = 32):
+    rng = np.random.RandomState(seed)
+    key = jax.random.key(seed)
+    key, k_init = jax.random.split(key)
+    params = init_params(cfg, k_init, max_peds)
+    steps_per_epoch = max(len(train_windows) // batch_size, 1)
+    tx = make_optimizer(lr, temp_epochs, steps_per_epoch)
+    opt_state = tx.init(params)
+    tstep = make_train_step(cfg, tx, deterministic_loss)
+    estep = make_eval_step(cfg, deterministic_loss)
+
+    os.makedirs(out_dir, exist_ok=True)
+    hist = {"train_loss": [], "val_loss": [], "train_aoe": [], "val_aoe": [],
+            "train_foe": [], "val_foe": []}
+    for epoch in range(1, epochs + 1):
+        tau = temperature(epoch, temp_epochs, init_temp)
+        t0 = time.time()
+        tl, ta, tf = [], [], []
+        for batch in ds.batches(train_windows, batch_size, rng):
+            key, k = jax.random.split(key)
+            batch = jax.tree.map(jnp.asarray, batch)
+            params, opt_state, loss, aoe, foe = tstep(params, opt_state,
+                                                      batch, tau, k)
+            tl.append(float(loss)); ta.append(float(aoe)); tf.append(float(foe))
+        vl, va, vf = [], [], []
+        for batch in ds.batches(val_windows, batch_size, rng, shuffle=False):
+            key, k = jax.random.split(key)
+            batch = jax.tree.map(jnp.asarray, batch)
+            loss, aoe, foe = estep(params, batch, tau, k)
+            vl.append(float(loss)); va.append(float(aoe)); vf.append(float(foe))
+        for name, vals in (("train_loss", tl), ("val_loss", vl),
+                           ("train_aoe", ta), ("val_aoe", va),
+                           ("train_foe", tf), ("val_foe", vf)):
+            hist[name].append(float(np.mean(vals)) if vals else float("nan"))
+        print(f"Epoch {epoch} | train loss {hist['train_loss'][-1]:.4f} | "
+              f"val loss {hist['val_loss'][-1]:.4f} | "
+              f"train aoe {hist['train_aoe'][-1]:.4f} | "
+              f"val aoe {hist['val_aoe'][-1]:.4f} | "
+              f"tau {tau:.3f} | {time.time()-t0:.1f}s")
+        if epoch % save_epochs == 0 or epoch == epochs:
+            from ...utils.checkpoint import save_params
+            save_params(os.path.join(out_dir, f"epoch_{epoch}"), params)
+            with open(os.path.join(out_dir, "train_hist.json"), "w") as f:
+                json.dump(hist, f)
+    return params, hist
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser()
+    p.add_argument("--data-dir", required=True)
+    p.add_argument("--out", default="results/gst_run")
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--temp-epochs", type=int, default=100)
+    p.add_argument("--lr", type=float, default=1e-3)
+    p.add_argument("--batch-size", type=int, default=16)
+    p.add_argument("--max-peds", type=int, default=32)
+    p.add_argument("--seed", type=int, default=1000)
+    p.add_argument("--deterministic", action="store_true")
+    p.add_argument("--edge-heads", type=int, default=0)
+    args = p.parse_args(argv)
+
+    cfg = PredConfig(spatial_num_heads_edges=args.edge_heads)
+    train_w = ds.load_dataset(os.path.join(args.data_dir, "train"),
+                              cfg.obs_seq_len, cfg.pred_seq_len, args.max_peds)
+    test_dir = os.path.join(args.data_dir, "test")
+    val_w = ds.load_dataset(test_dir, cfg.obs_seq_len, cfg.pred_seq_len,
+                            args.max_peds) if os.path.isdir(test_dir) else \
+        train_w[: max(len(train_w) // 10, 1)]
+    print(f"{len(train_w)} train windows, {len(val_w)} val windows")
+    train(cfg, train_w, val_w, args.out, epochs=args.epochs,
+          temp_epochs=args.temp_epochs, lr=args.lr,
+          batch_size=args.batch_size, seed=args.seed,
+          deterministic_loss=args.deterministic, max_peds=args.max_peds)
+
+
+if __name__ == "__main__":
+    main()
