@@ -409,99 +409,73 @@ def calc_reward(cfg: Config, state: EnvState, action_v, action_r, future_traj,
 # mid-episode human population / goal dynamics
 # --------------------------------------------------------------------------
 
-def _spawn_human(cfg: Config, key, state: EnvState, slot,
-                 include_mask) -> EnvState:
-    """Generate a circle-crossing human into ``slot`` (crowd_sim_var_num.py:116-146),
-    rejecting against the robot and the humans selected by ``include_mask``."""
-    key, k_attr, k_pos = jax.random.split(key, 3)
-    radius, v_pref = spawn.sample_human_attributes(
-        k_attr, cfg.env.randomize_attributes, cfg.humans.radius,
-        cfg.humans.v_pref)
-    agent_pos = jnp.concatenate([state.robot.pos[None], state.humans.pos])
-    agent_goal = jnp.concatenate([state.robot.goal[None], state.humans.goal])
-    agent_radius = jnp.concatenate([state.robot.radius[None],
-                                    state.humans.radius])
-    agent_mask = jnp.concatenate([jnp.array([True]), include_mask])
-    robot_min = (jnp.float32(cfg.sim.circle_radius / 2.0)
+def _respawn_humans(cfg: Config, key, state: EnvState, need,
+                    placed=None) -> EnvState:
+    """Regenerate every slot in ``need`` as a fresh circle-crossing human
+    (batched form of crowd_sim_var_num.py:116-146): fresh attributes when
+    randomized, position on the circle ring, goal opposite, velocity zero."""
+    k_r, k_v, k_pos = jax.random.split(key, 3)
+    A = cfg.sim.max_human_num
+    if cfg.env.randomize_attributes:
+        radius_new = jax.random.uniform(k_r, (A,), minval=0.3, maxval=0.5)
+        v_pref_new = jax.random.uniform(k_v, (A,), minval=0.5, maxval=1.5)
+    else:
+        radius_new = jnp.full((A,), cfg.humans.radius)
+        v_pref_new = jnp.full((A,), cfg.humans.v_pref)
+    radius = jnp.where(need, radius_new, state.humans.radius)
+    v_pref = jnp.where(need, v_pref_new, state.humans.v_pref)
+    if placed is None:
+        placed = _active_mask(cfg, state.human_num) & ~need
+    robot_min = (cfg.sim.circle_radius / 2.0
                  if cfg.action_space.kinematics == "unicycle" else None)
-    pos, goal = spawn.sample_circle_crossing_position(
-        k_pos, radius, cfg.sim.circle_radius, agent_pos, agent_goal,
-        agent_radius, agent_mask, cfg.reward.discomfort_dist,
+    pos, goal = spawn.batched_circle_spawn(
+        k_pos, need, radius, cfg.sim.circle_radius, state.robot.pos,
+        state.robot.goal, state.robot.radius, state.humans.pos,
+        state.humans.goal, radius, placed, cfg.reward.discomfort_dist,
         robot_min_dist=robot_min)
     humans = HumanState(
-        pos=state.humans.pos.at[slot].set(pos),
-        vel=state.humans.vel.at[slot].set(jnp.zeros(2)),
-        goal=state.humans.goal.at[slot].set(goal),
-        radius=state.humans.radius.at[slot].set(radius),
-        v_pref=state.humans.v_pref.at[slot].set(v_pref),
-    )
+        pos=pos,
+        vel=jnp.where(need[:, None], 0.0, state.humans.vel),
+        goal=goal, radius=radius, v_pref=v_pref)
     return state.replace(humans=humans)
 
 
 def update_human_goals_randomly(cfg: Config, key, state: EnvState) -> EnvState:
     """Every-5s random goal changes, each human w.p. goal_change_chance
-    (crowd_sim.py:415-450)."""
+    (crowd_sim.py:415-450), batched."""
     A = cfg.sim.max_human_num
     active = _active_mask(cfg, state.human_num)
-
-    def body(i, carry):
-        key, humans = carry
-        key, k_chance, k_goal = jax.random.split(key, 3)
-        change = (jax.random.uniform(k_chance, ()) <= cfg.humans.goal_change_chance)
-        change &= active[i] & (humans.v_pref[i] != 0.0)
-        others = active & (jnp.arange(A) != i)
-        agent_pos = jnp.concatenate([state.robot.pos[None], humans.pos])
-        agent_goal = jnp.concatenate([state.robot.goal[None], humans.goal])
-        agent_radius = jnp.concatenate([state.robot.radius[None], humans.radius])
-        agent_mask = jnp.concatenate([jnp.array([True]), others])
-        g = spawn.sample_goal_on_circle(
-            k_goal, humans.radius[i], humans.v_pref[i], cfg.sim.circle_radius,
-            agent_pos, agent_goal, agent_radius, agent_mask,
-            cfg.reward.discomfort_dist)
-        new_goal = jnp.where(change, g, humans.goal[i])
-        return key, humans.replace(goal=humans.goal.at[i].set(new_goal))
-
-    key, humans = jax.lax.fori_loop(0, A, body, (key, state.humans))
-    return state.replace(humans=humans)
+    k_chance, k_goal = jax.random.split(key)
+    change = (jax.random.uniform(k_chance, (A,)) <= cfg.humans.goal_change_chance)
+    need = change & active & (state.humans.v_pref != 0.0)
+    goal = spawn.batched_goal_resample(
+        k_goal, need, state.humans.radius, state.humans.v_pref,
+        cfg.sim.circle_radius, state.robot.pos, state.robot.goal,
+        state.robot.radius, state.humans.pos, state.humans.goal,
+        state.humans.radius, active, cfg.reward.discomfort_dist)
+    return state.replace(humans=state.humans.replace(goal=goal))
 
 
 def end_goal_updates(cfg: Config, key, state: EnvState) -> EnvState:
     """Humans that reached their goal are regenerated (holonomic,
-    crowd_sim_var_num.py:451-458) or re-goaled (unicycle, crowd_sim.py:453-485)."""
-    A = cfg.sim.max_human_num
+    crowd_sim_var_num.py:451-458) or re-goaled (unicycle,
+    crowd_sim.py:453-485), batched."""
     active = _active_mask(cfg, state.human_num)
-    holo = cfg.action_space.kinematics == "holonomic"
-
-    def body(i, carry):
-        key, state_in = carry
-        key, k = jax.random.split(key)
-        reached = (jnp.linalg.norm(state_in.humans.goal[i] - state_in.humans.pos[i])
-                   < state_in.humans.radius[i]) & active[i]
-        if holo:
-            others = active & (jnp.arange(A) != i)
-            state_new = _spawn_human(cfg, k, state_in, i, others)
-        else:
-            key2, k_chance = jax.random.split(k)
-            change = jax.random.uniform(k_chance, ()) <= cfg.humans.end_goal_change_chance
-            others = active & (jnp.arange(A) != i)
-            agent_pos = jnp.concatenate([state_in.robot.pos[None], state_in.humans.pos])
-            agent_goal = jnp.concatenate([state_in.robot.goal[None], state_in.humans.goal])
-            agent_radius = jnp.concatenate([state_in.robot.radius[None],
-                                            state_in.humans.radius])
-            agent_mask = jnp.concatenate([jnp.array([True]), others])
-            g = spawn.sample_goal_on_circle(
-                key2, state_in.humans.radius[i], state_in.humans.v_pref[i],
-                cfg.sim.circle_radius, agent_pos, agent_goal, agent_radius,
-                agent_mask, cfg.reward.discomfort_dist)
-            new_goal = jnp.where(change, g, state_in.humans.goal[i])
-            state_new = state_in.replace(humans=state_in.humans.replace(
-                goal=state_in.humans.goal.at[i].set(new_goal)))
-        state_out = jax.tree.map(
-            lambda new, old: jnp.where(reached, new, old), state_new, state_in)
-        return key, state_out
-
-    key, state = jax.lax.fori_loop(0, A, body, (key, state))
-    return state
+    reached = active & (jnp.linalg.norm(state.humans.goal - state.humans.pos,
+                                        axis=-1) < state.humans.radius)
+    if cfg.action_space.kinematics == "holonomic":
+        return _respawn_humans(cfg, key, state, reached)
+    k_chance, k_goal = jax.random.split(key)
+    A = cfg.sim.max_human_num
+    change = (jax.random.uniform(k_chance, (A,))
+              <= cfg.humans.end_goal_change_chance)
+    need = reached & change
+    goal = spawn.batched_goal_resample(
+        k_goal, need, state.humans.radius, state.humans.v_pref,
+        cfg.sim.circle_radius, state.robot.pos, state.robot.goal,
+        state.robot.radius, state.humans.pos, state.humans.goal,
+        state.humans.radius, active, cfg.reward.discomfort_dist)
+    return state.replace(humans=state.humans.replace(goal=goal))
 
 
 def vary_human_num(cfg: Config, key, state: EnvState, pred_rule: bool) -> EnvState:
@@ -536,22 +510,16 @@ def vary_human_num(cfg: Config, key, state: EnvState, pred_rule: bool) -> EnvSta
     new_num = jnp.where(do_remove, state.human_num - remove_num,
                         state.human_num + add_num)
 
-    # spawn any newly added slots sequentially (rejecting against the robot and
-    # every slot below them)
-    def body(i, carry):
-        key, st = carry
-        key, k = jax.random.split(key)
-        is_new = (~do_remove) & (i >= state.human_num) & (i < new_num)
-        below = jnp.arange(A) < i
-        st_new = _spawn_human(cfg, k, st, i, below)
-        # fresh belief row for the new slot (crowd_sim_var_num.py:437)
-        st_new = st_new.replace(
-            last_human_states=st_new.last_human_states.at[i].set(BELIEF_DUMMY))
-        st_out = jax.tree.map(lambda a, b: jnp.where(is_new, a, b), st_new, st)
-        return key, st_out
-
-    key, state = jax.lax.fori_loop(0, A, body, (key, state))
-    return state.replace(human_num=new_num.astype(jnp.int32))
+    idx = jnp.arange(A)
+    is_new = (~do_remove) & (idx >= state.human_num) & (idx < new_num)
+    placed = idx < state.human_num
+    state = _respawn_humans(cfg, k_gen, state, is_new, placed)
+    # fresh belief rows for new slots (crowd_sim_var_num.py:437)
+    state = state.replace(
+        last_human_states=jnp.where(is_new[:, None], BELIEF_DUMMY,
+                                    state.last_human_states),
+        human_num=new_num.astype(jnp.int32))
+    return state
 
 
 # --------------------------------------------------------------------------
@@ -609,17 +577,11 @@ def reset(cfg: Config, key) -> Tuple[EnvState, Observation]:
         human_future_traj=jnp.zeros((K + 1, A, 4)),
     )
 
-    # sequential human placement, each rejecting against slots below it
-    def body(i, carry):
-        key, st = carry
-        key, k = jax.random.split(key)
-        below = jnp.arange(A) < jnp.minimum(i, st.human_num)
-        st_new = _spawn_human(cfg, k, st, i, below)
-        take = i < st.human_num
-        st_out = jax.tree.map(lambda a, b: jnp.where(take, a, b), st_new, st)
-        return key, st_out
-
-    _, state = jax.lax.fori_loop(0, A, body, (k_humans, state))
+    # batched human placement (priority-ordered parallel rejection rounds
+    # standing in for the reference's sequential placement)
+    need = jnp.arange(A) < state.human_num
+    state = _respawn_humans(cfg, k_humans, state, need,
+                            placed=jnp.zeros((A,), bool))
 
     obs, state = generate_ob(cfg, state, reset=True)
     return state, obs

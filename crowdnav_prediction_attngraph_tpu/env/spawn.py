@@ -17,140 +17,150 @@ import jax.numpy as jnp
 MAX_TRIES = 128
 
 
-def sample_robot_position(key, arena_size: float, min_goal_dist: float):
+def sample_robot_position(key, arena_size: float, min_goal_dist: float,
+                          n_candidates: int = 24):
     """Holonomic robot spawn: U(-arena, arena)^4 until |p-g| >= min_goal_dist
-    (crowd_sim_var_num.py:96-101; min dist 8)."""
-
-    def cond(carry):
-        key, pxy_gxy, ok = carry
-        return ~ok
-
-    def body(carry):
-        key, _, _ = carry
-        key, sub = jax.random.split(key)
-        vals = jax.random.uniform(sub, (4,), minval=-arena_size, maxval=arena_size)
-        ok = jnp.linalg.norm(vals[:2] - vals[2:]) >= min_goal_dist
-        return key, vals, ok
-
-    key, sub = jax.random.split(key)
-    vals = jax.random.uniform(sub, (4,), minval=-arena_size, maxval=arena_size)
-    ok = jnp.linalg.norm(vals[:2] - vals[2:]) >= min_goal_dist
-    _, vals, _ = jax.lax.while_loop(cond, body, (key, vals, ok))
-    return vals[:2], vals[2:]
+    (crowd_sim_var_num.py:96-101; min dist 8). Rejection sampling is done with
+    ``n_candidates`` parallel draws (first valid wins; deterministic corner
+    fallback at ~1e-4 probability) — no data-dependent loop."""
+    vals = jax.random.uniform(key, (n_candidates, 4), minval=-arena_size,
+                              maxval=arena_size)
+    ok = jnp.linalg.norm(vals[:, :2] - vals[:, 2:], axis=-1) >= min_goal_dist
+    first = jnp.argmax(ok)
+    fallback = jnp.array([-arena_size, -arena_size, arena_size, arena_size])
+    chosen = jnp.where(jnp.any(ok), vals[first], fallback)
+    return chosen[:2], chosen[2:]
 
 
-def sample_unicycle_robot(key, arena_size: float, min_goal_dist: float):
-    """Unicycle robot spawn on the arena circle (crowd_sim_var_num.py:78-87)."""
-    key, k1, k2, k3 = jax.random.split(key, 4)
+def sample_unicycle_robot(key, arena_size: float, min_goal_dist: float,
+                          n_candidates: int = 24):
+    """Unicycle robot spawn on the arena circle (crowd_sim_var_num.py:78-87).
+    Goal rejection via parallel candidate draws (see sample_robot_position)."""
+    k1, k2, k3 = jax.random.split(key, 3)
     angle = jax.random.uniform(k1, (), minval=0.0, maxval=2 * jnp.pi)
     pos = arena_size * jnp.stack([jnp.cos(angle), jnp.sin(angle)])
-
-    def cond(carry):
-        key, g, ok = carry
-        return ~ok
-
-    def body(carry):
-        key, _, _ = carry
-        key, sub = jax.random.split(key)
-        g = jax.random.uniform(sub, (2,), minval=-arena_size, maxval=arena_size)
-        return key, g, jnp.linalg.norm(pos - g) >= min_goal_dist
-
-    g0 = jax.random.uniform(k2, (2,), minval=-arena_size, maxval=arena_size)
-    _, goal, _ = jax.lax.while_loop(cond, body,
-                                    (key, g0, jnp.linalg.norm(pos - g0) >= min_goal_dist))
+    g = jax.random.uniform(k2, (n_candidates, 2), minval=-arena_size,
+                           maxval=arena_size)
+    ok = jnp.linalg.norm(pos[None] - g, axis=-1) >= min_goal_dist
+    goal = jnp.where(jnp.any(ok), g[jnp.argmax(ok)], -pos)
     theta = jax.random.uniform(k3, (), minval=0.0, maxval=2 * jnp.pi)
     return pos, goal, theta
 
 
-def sample_human_attributes(key, randomize: bool, default_radius: float,
-                            default_v_pref: float):
-    """v_pref ~ U(0.5, 1.5), radius ~ U(0.3, 0.5) when randomized (agent.py:44-50)."""
-    if not randomize:
-        return jnp.float32(default_radius), jnp.float32(default_v_pref)
-    k1, k2 = jax.random.split(key)
-    v_pref = jax.random.uniform(k1, (), minval=0.5, maxval=1.5)
-    radius = jax.random.uniform(k2, (), minval=0.3, maxval=0.5)
-    return radius, v_pref
+def batched_circle_spawn(key, need, self_radius, circle_radius: float,
+                         robot_pos, robot_goal, robot_radius,
+                         humans_pos, humans_goal, humans_radius, placed,
+                         discomfort_dist: float, rounds: int = 10,
+                         robot_min_dist=None):
+    """Spawn circle-crossing humans for every slot in ``need`` simultaneously.
 
+    TPU-first replacement for the reference's per-human sequential rejection
+    loops (crowd_sim_var_num.py:116-146): each of ``rounds`` fixed iterations
+    proposes positions for all still-unplaced slots at once, rejects against
+    the robot (position+goal), already-placed humans, and lower-indexed
+    accepted proposals (a priority order standing in for the reference's
+    sequential placement). Serial depth is ``rounds`` instead of
+    slots x tries. After the final round any remaining slot accepts its last
+    proposal (statistically negligible: a proposal collides rarely).
 
-def _position_collides(pos, self_radius, agent_pos, agent_goal, agent_radius,
-                       agent_mask, discomfort_dist, min_dist_override=None):
-    """Rejection predicate (crowd_sim_var_num.py:131-140): candidate must keep
-    min_dist from every active agent's position AND goal."""
-    min_dist = self_radius + agent_radius + discomfort_dist
-    if min_dist_override is not None:
-        min_dist = jnp.where(min_dist_override[0], min_dist_override[1], min_dist)
-    d_pos = jnp.linalg.norm(pos[None, :] - agent_pos, axis=-1)
-    d_goal = jnp.linalg.norm(pos[None, :] - agent_goal, axis=-1)
-    hit = agent_mask & ((d_pos < min_dist) | (d_goal < min_dist))
-    return jnp.any(hit)
-
-
-def sample_circle_crossing_position(key, self_radius, circle_radius: float,
-                                    agent_pos, agent_goal, agent_radius,
-                                    agent_mask, discomfort_dist: float,
-                                    robot_min_dist=None):
-    """Var-num circle-crossing human spawn (crowd_sim_var_num.py:116-146).
-
-    angle ~ U(0, 2pi); noise ~ U(0, 1)*2 per axis; goal = -position.
-    ``agent_*[0]`` is expected to be the robot; ``robot_min_dist`` optionally
-    overrides the robot clearance (unicycle: circle_radius/2, line 133-134).
-    Bounded to MAX_TRIES rejections.
+    Returns (pos (A, 2), goal (A, 2)) — valid for slots in ``need``.
     """
+    A = need.shape[0]
+    idx = jnp.arange(A)
 
-    def propose(key):
+    def round_body(_, carry):
+        key, pos, placed_now = carry
         key, k1, k2 = jax.random.split(key, 3)
-        angle = jax.random.uniform(k1, (), minval=0.0, maxval=2 * jnp.pi)
-        noise = jax.random.uniform(k2, (2,)) * 2.0
-        pos = circle_radius * jnp.stack([jnp.cos(angle), jnp.sin(angle)]) + noise
+        angle = jax.random.uniform(k1, (A,), minval=0.0, maxval=2 * jnp.pi)
+        noise = jax.random.uniform(k2, (A, 2)) * 2.0
+        prop = circle_radius * jnp.stack([jnp.cos(angle), jnp.sin(angle)],
+                                         axis=-1) + noise
+        pending = need & ~placed_now
+        cand = jnp.where(pending[:, None], prop, pos)
+
+        # min separation: r_i + r_other + discomfort
+        def pair_ok(other_pos, other_goal, other_radius, other_mask):
+            # other_*: (M, ...) -> (A, M) collision flags
+            md = self_radius[:, None] + other_radius[None, :] + discomfort_dist
+            dp = jnp.linalg.norm(cand[:, None, :] - other_pos[None, :, :],
+                                 axis=-1)
+            dg = jnp.linalg.norm(cand[:, None, :] - other_goal[None, :, :],
+                                 axis=-1)
+            return jnp.any(other_mask[None, :] & ((dp < md) | (dg < md)),
+                           axis=1)
+
+        md_rob = self_radius + robot_radius + discomfort_dist
         if robot_min_dist is not None:
-            override = (jnp.arange(agent_pos.shape[0]) == 0, robot_min_dist)
-        else:
-            override = None
-        bad = _position_collides(pos, self_radius, agent_pos, agent_goal,
-                                 agent_radius, agent_mask, discomfort_dist,
-                                 override)
-        return key, pos, bad
+            md_rob = jnp.full_like(md_rob, robot_min_dist)
+        bad = (jnp.linalg.norm(cand - robot_pos, axis=-1) < md_rob) | \
+              (jnp.linalg.norm(cand - robot_goal, axis=-1) < md_rob)
+        # obstacles: original humans + proposals accepted in earlier rounds
+        cur_goal = jnp.where((need & placed_now)[:, None], -pos, humans_goal)
+        bad |= pair_ok(pos, cur_goal, humans_radius, placed_now & ~pending)
+        # cross-check among this round's proposals: slot i defers to j < i
+        md_pp = self_radius[:, None] + self_radius[None, :] + discomfort_dist
+        dpp = jnp.linalg.norm(cand[:, None, :] - cand[None, :, :], axis=-1)
+        dpg = jnp.linalg.norm(cand[:, None, :] + cand[None, :, :], axis=-1)
+        lower = (idx[None, :] < idx[:, None]) & pending[None, :]
+        bad |= jnp.any(lower & ((dpp < md_pp) | (dpg < md_pp)), axis=1)
 
-    def cond(carry):
-        key, pos, bad, tries = carry
-        return bad & (tries < MAX_TRIES)
+        accept = pending & ~bad
+        pos = jnp.where(accept[:, None], cand, pos)
+        placed_now = placed_now | accept
+        return key, pos, placed_now
 
-    def body(carry):
-        key, _, _, tries = carry
-        key, pos, bad = propose(key)
-        return key, pos, bad, tries + 1
+    key, k0, k1 = jax.random.split(key, 3)
+    angle0 = jax.random.uniform(k0, (A,), minval=0.0, maxval=2 * jnp.pi)
+    noise0 = jax.random.uniform(k1, (A, 2)) * 2.0
+    fallback = circle_radius * jnp.stack([jnp.cos(angle0), jnp.sin(angle0)],
+                                         axis=-1) + noise0
+    pos0 = jnp.where(need[:, None], fallback, humans_pos)
+    key, pos, _ = jax.lax.fori_loop(0, rounds, round_body,
+                                    (key, pos0, placed & ~need))
+    goal = jnp.where(need[:, None], -pos, humans_goal)
+    pos = jnp.where(need[:, None], pos, humans_pos)
+    return pos, goal
 
-    key, pos, bad = propose(key)
-    _, pos, _, _ = jax.lax.while_loop(cond, body, (key, pos, bad, 0))
-    return pos, -pos
 
+def batched_goal_resample(key, need, self_radius, v_pref, circle_radius: float,
+                          robot_pos, robot_goal, robot_radius,
+                          humans_pos, humans_goal, humans_radius, active,
+                          discomfort_dist: float, rounds: int = 8):
+    """Resample mid-episode goals for all ``need`` slots at once
+    (batched form of crowd_sim.py:415-450's per-human rejection loops).
 
-def sample_goal_on_circle(key, self_radius, v_pref, circle_radius: float,
-                          agent_pos, agent_goal, agent_radius, agent_mask,
-                          discomfort_dist: float):
-    """New mid-episode goal (crowd_sim.py:427-446): circle point + U(-.5,.5)*v_pref
-    noise, rejected against other agents' positions and goals."""
+    Returns goals (A, 2) — resampled where ``need``, original otherwise."""
+    A = need.shape[0]
+    idx = jnp.arange(A)
     v = jnp.where(v_pref == 0.0, 1.0, v_pref)
 
-    def propose(key):
+    def round_body(_, carry):
+        key, goal, done = carry
         key, k1, k2 = jax.random.split(key, 3)
-        angle = jax.random.uniform(k1, (), minval=0.0, maxval=2 * jnp.pi)
-        noise = (jax.random.uniform(k2, (2,)) - 0.5) * v
-        g = circle_radius * jnp.stack([jnp.cos(angle), jnp.sin(angle)]) + noise
-        bad = _position_collides(g, self_radius, agent_pos, agent_goal,
-                                 agent_radius, agent_mask, discomfort_dist)
-        return key, g, bad
+        angle = jax.random.uniform(k1, (A,), minval=0.0, maxval=2 * jnp.pi)
+        noise = (jax.random.uniform(k2, (A, 2)) - 0.5) * v[:, None]
+        prop = circle_radius * jnp.stack([jnp.cos(angle), jnp.sin(angle)],
+                                         axis=-1) + noise
+        pending = need & ~done
+        md_rob = self_radius + robot_radius + discomfort_dist
+        bad = (jnp.linalg.norm(prop - robot_pos, axis=-1) < md_rob) | \
+              (jnp.linalg.norm(prop - robot_goal, axis=-1) < md_rob)
+        others = active & (idx[None, :] != idx[:, None])
+        md = self_radius[:, None] + humans_radius[None, :] + discomfort_dist
+        dp = jnp.linalg.norm(prop[:, None, :] - humans_pos[None, :, :], axis=-1)
+        dg = jnp.linalg.norm(prop[:, None, :] - humans_goal[None, :, :], axis=-1)
+        bad |= jnp.any(others & ((dp < md) | (dg < md)), axis=1)
+        accept = pending & ~bad
+        goal = jnp.where(accept[:, None], prop, goal)
+        done = done | accept
+        return key, goal, done
 
-    def cond(carry):
-        key, g, bad, tries = carry
-        return bad & (tries < MAX_TRIES)
-
-    def body(carry):
-        key, _, _, tries = carry
-        key, g, bad = propose(key)
-        return key, g, bad, tries + 1
-
-    key, g, bad = propose(key)
-    _, g, _, _ = jax.lax.while_loop(cond, body, (key, g, bad, 0))
-    return g
+    key, k0, k1 = jax.random.split(key, 3)
+    angle0 = jax.random.uniform(k0, (A,), minval=0.0, maxval=2 * jnp.pi)
+    noise0 = (jax.random.uniform(k1, (A, 2)) - 0.5) * v[:, None]
+    fb = circle_radius * jnp.stack([jnp.cos(angle0), jnp.sin(angle0)],
+                                   axis=-1) + noise0
+    goal0 = jnp.where(need[:, None], fb, humans_goal)
+    _, goal, _ = jax.lax.fori_loop(0, rounds, round_body,
+                                   (key, goal0, ~need))
+    return goal

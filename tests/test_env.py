@@ -133,13 +133,18 @@ def test_timeout():
 def test_potential_reward_shaping():
     reset, step = fns(CFG5)
     state, _ = reset(jax.random.key(6))
-    # step straight toward the goal from far away: reward = 2 * progress
+    # the reward is computed BEFORE integrating the action
+    # (crowd_sim_var_num.py:391-397), so progress made by step t shows up in
+    # step t+1's potential reward: 2 * 0.25 m = 0.5
     to_goal = state.robot.goal - state.robot.pos
     act = to_goal / jnp.linalg.norm(to_goal)
-    _, _, r, _, info = step(state, act)
+    state, _, r0, _, _ = step(state, act)
+    assert float(r0) == 0.0  # no progress registered yet
+    to_goal = state.robot.goal - state.robot.pos
+    act = to_goal / jnp.linalg.norm(to_goal)
+    _, _, r1, _, info = step(state, act)
     if int(info.outcome) == 0:  # no danger interference
-        # moving 0.25 m toward goal: 2 * 0.25 = 0.5
-        np.testing.assert_allclose(float(r), 0.5, atol=0.02)
+        np.testing.assert_allclose(float(r1), 0.5, atol=0.02)
 
 
 def test_humans_move_toward_goals():
@@ -157,11 +162,10 @@ def test_humans_move_toward_goals():
 
 
 def test_humans_avoid_collisions():
-    reset, step = fns(CFG5.replace(env=CFG5.env.replace(randomize_attributes=False),
-                                   humans=CFG5.humans.replace(
-                                       random_goal_changing=False)))
-    cfg = CFG5.replace(env=CFG5.env.replace(randomize_attributes=False),
-                       humans=CFG5.humans.replace(random_goal_changing=False))
+    import dataclasses
+    cfg = CFG5.replace(
+        env=dataclasses.replace(CFG5.env, randomize_attributes=False),
+        humans=dataclasses.replace(CFG5.humans, random_goal_changing=False))
     reset, step = fns(cfg)
     state, _ = reset(jax.random.key(9))
     min_pair = np.inf
