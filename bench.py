@@ -15,6 +15,12 @@ import sys
 import time
 
 import jax
+
+jax.config.update("jax_compilation_cache_dir",
+                  os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               ".jax_cache"))
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
@@ -27,7 +33,7 @@ def main():
     from crowdnav_prediction_attngraph_tpu.algo import ppo as ppo_mod
     from crowdnav_prediction_attngraph_tpu.train import load_gst_params
 
-    num_envs = int(os.environ.get("BENCH_ENVS", "32"))
+    num_envs = int(os.environ.get("BENCH_ENVS", "256"))
     num_steps = 30
     cfg = gst_config(human_num=20)
     cfg = cfg.replace(ppo=cfg.ppo.__class__(

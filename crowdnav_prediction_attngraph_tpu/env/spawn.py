@@ -2,9 +2,11 @@
 
 Replaces the reference's NumPy rejection-sampling loops
 (crowd_sim_var_num.py:64-146, crowd_sim.py:203-236, 413-485) with
-bounded-iteration ``lax.while_loop`` + key folding so the whole reset is
-jittable. Exact RNG-stream equality with NumPy is impossible; parity is
-distributional (SURVEY.md section 7 design stance).
+fixed-round batched proposal/rejection passes so the whole reset — and the
+respawn/goal-change events inside every step — have constant, shallow serial
+depth on TPU (data-dependent ``while`` loops measured ~120x slower).
+Exact RNG-stream equality with NumPy is impossible; parity is distributional
+(SURVEY.md section 7 design stance).
 """
 
 from __future__ import annotations
@@ -13,8 +15,6 @@ from typing import Tuple
 
 import jax
 import jax.numpy as jnp
-
-MAX_TRIES = 128
 
 
 def sample_robot_position(key, arena_size: float, min_goal_dist: float,
