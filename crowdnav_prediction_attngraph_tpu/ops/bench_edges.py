@@ -1,0 +1,108 @@
+"""edges/s benchmark for the interaction-graph attention encoder.
+
+Measures the BASELINE.json north-star kernel metric in three forms:
+  1. dense einsum path (XLA-fused) — single device
+  2. Pallas packed kernel — single device (TPU)
+  3. edge-partitioned ring attention — weak scaling over an n-device mesh
+     (each device adds A_base agents; efficiency = edges/s(n) / (n * edges/s(1)))
+
+Usage:
+  python -m crowdnav_prediction_attngraph_tpu.ops.bench_edges            # device bench
+  JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8 \
+  python -m crowdnav_prediction_attngraph_tpu.ops.bench_edges --weak-scaling
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+
+def _inputs(rows, A, D, seed=0):
+    rng = np.random.RandomState(seed)
+    mk = lambda: jnp.asarray(rng.randn(rows, A, D), jnp.float32)
+    det = rng.randint(1, A + 1, rows)
+    mask = jnp.asarray(np.arange(A)[None, :] < det[:, None])
+    return mk(), mk(), mk(), mask
+
+
+def _time(f, args, iters=20):
+    out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def single_device(rows=4096, A=20, D=512, H=8):
+    from .masked_attention import (packed_masked_attention,
+                                   reference_masked_attention)
+    q, k, v, mask = _inputs(rows, A, D)
+    edges = rows * A * A
+    res = {}
+    f_ref = jax.jit(lambda *a: reference_masked_attention(*a, H))
+    dt = _time(f_ref, (q, k, v, mask))
+    res["einsum"] = edges / dt
+    try:
+        f_pal = jax.jit(lambda *a: packed_masked_attention(*a, H))
+        dt = _time(f_pal, (q, k, v, mask))
+        res["pallas"] = edges / dt
+    except Exception as e:  # pallas unsupported on this backend
+        res["pallas_error"] = str(e)[:120]
+    return res
+
+
+def weak_scaling(rows=256, A_base=16, D=256, H=8, max_dev=None):
+    from jax.experimental import mesh_utils
+    from jax.sharding import Mesh
+    from ..parallel.edge_partition import edge_partitioned_attention
+
+    n_avail = len(jax.devices())
+    results = {}
+    base_rate = None
+    n = 1
+    while n <= (max_dev or n_avail):
+        A = A_base * n
+        q, k, v, mask = _inputs(rows, A, D)
+        dev = mesh_utils.create_device_mesh((n,), devices=jax.devices()[:n])
+        mesh = Mesh(dev, ("tp",))
+        with mesh:
+            f = jax.jit(lambda *a: edge_partitioned_attention(*a, H, mesh))
+            dt = _time(f, (q, k, v, mask), iters=10)
+        rate = rows * A * A / dt
+        if base_rate is None:
+            base_rate = rate
+        results[n] = {"edges_per_s": rate,
+                      "efficiency": rate / (n * base_rate) * n
+                      if n == 1 else rate / (base_rate * n)}
+        n *= 2
+    return results
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--weak-scaling", action="store_true")
+    args = p.parse_args()
+    if args.weak_scaling:
+        res = weak_scaling()
+        for n, r in res.items():
+            print(f"n={n}: {r['edges_per_s']/1e9:.3f} G edges/s, "
+                  f"efficiency {r['efficiency']*100:.1f}%")
+    else:
+        res = single_device()
+        for k, v in res.items():
+            if isinstance(v, float):
+                print(f"{k}: {v/1e9:.3f} G edges/s")
+            else:
+                print(f"{k}: {v}")
+
+
+if __name__ == "__main__":
+    main()
