@@ -52,8 +52,8 @@ def main():
             jnp.ones((1, A, L + cfg.pred.pred_seq_len)), 0.03, True, False)
 
     ts = ppo_mod.init_train_state(cfg, jax.random.key(0), gst_params)
-    it = jax.jit(lambda t: ppo_mod.train_iteration(cfg, t, gst_params),
-                 donate_argnums=0)
+    # note: buffer donation is rejected by the axon TPU runtime
+    it = jax.jit(lambda t: ppo_mod.train_iteration(cfg, t, gst_params))
 
     # warmup / compile
     ts, m = it(ts)
