@@ -32,13 +32,13 @@ from ...config import PredConfig
 
 def masked_renorm_attention(q, k, v, float_mask, num_heads: int):
     """VanillaMultiheadAttention core with float-mask renormalization
-    (mha.py:221-246). q/k/v: (B, S, D); float_mask: (B, S, S) target x neighbor.
-    Returns (attn_out (B, S, D-concat per head), weights (B, H, S, S))."""
-    B, S, D = q.shape
+    (mha.py:221-246). q: (B, L, D); k/v: (B, S, D); float_mask: (B, L, S)
+    target x neighbor. Returns (attn_out (B, L, H, hd), weights (B, H, L, S))."""
+    B, L, D = q.shape
     hd = D // num_heads
-    qh = q.reshape(B, S, num_heads, hd)
-    kh = k.reshape(B, S, num_heads, hd)
-    vh = v.reshape(B, S, num_heads, hd)
+    qh = q.reshape(B, L, num_heads, hd)
+    kh = k.reshape(B, k.shape[1], num_heads, hd)
+    vh = v.reshape(B, v.shape[1], num_heads, hd)
     logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(hd)
     w = jax.nn.softmax(logits, axis=-1)
     w = w * float_mask[:, None, :, :]
@@ -48,16 +48,19 @@ def masked_renorm_attention(q, k, v, float_mask, num_heads: int):
 
 
 class NodeEncoderLayer(nn.Module):
-    """Pre-norm masked MHA + FFN (node_encoder_layer_no_ghost.py:25-67)."""
+    """Pre-norm masked MHA + FFN (node_encoder_layer_no_ghost.py:25-67;
+    ghost=True appends a zero "attend-to-nothing" key/value column,
+    node_encoder_layer_ghost.py:50-58)."""
 
     d_model: int = 64
     nhead: int = 8
     dim_feedforward: int = 128
     dropout: float = 0.1
+    ghost: bool = False
 
     @nn.compact
     def __call__(self, x, adj_mask, attn_mask, deterministic: bool = True):
-        # x: (B, A, d); adj_mask: (B, A, A) float; attn_mask: (B, A, A) float
+        # x: (B, A, d); adj_mask: (B, A, A[+1]) float; attn_mask: (B, A, A)
         B, A, D = x.shape
         ped_mask = (jnp.sum(attn_mask, axis=-1) > 0).astype(x.dtype)[..., None]
         # the reference REASSIGNS x to the normed+masked value before the
@@ -66,12 +69,15 @@ class NodeEncoderLayer(nn.Module):
         h = nn.LayerNorm(name="norm_node")(x)
         h = h * ped_mask
         x = h
+        kv = h
+        if self.ghost:
+            kv = jnp.concatenate([h, jnp.zeros((B, 1, D), h.dtype)], axis=1)
         w_in = self.param("in_proj_weight", nn.initializers.xavier_uniform(),
                           (D, 3 * D))
         b_in = self.param("in_proj_bias", nn.initializers.zeros, (3 * D,))
         q = h @ w_in[:, :D] + b_in[:D]
-        k = h @ w_in[:, D:2 * D] + b_in[D:2 * D]
-        v = h @ w_in[:, 2 * D:] + b_in[2 * D:]
+        k = kv @ w_in[:, D:2 * D] + b_in[D:2 * D]
+        v = kv @ w_in[:, 2 * D:] + b_in[2 * D:]
         out_h, weights = masked_renorm_attention(q, k, v, adj_mask, self.nhead)
         out = nn.Dense(D, name="out_proj")(out_h.reshape(B, A, D))
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
@@ -97,12 +103,15 @@ def gumbel_softmax(key, logits, tau: float, hard: bool, eps: float = 1e-10):
 
 
 class EdgeSelector(nn.Module):
-    """Sparse-edge sampler (edge_selector_no_ghost.py:26-97)."""
+    """Sparse-edge sampler (edge_selector_no_ghost.py:26-97; ghost=True adds
+    an always-available zero neighbor so a target may attend to nothing,
+    edge_selector_ghost.py:56-97)."""
 
     d_motion: int = 2
     d_model: int = 64
     nhead: int = 4
     dropout: float = 0.1
+    ghost: bool = False
 
     @nn.compact
     def __call__(self, x, A, attn_mask, tau: float, hard: bool, key,
@@ -112,14 +121,27 @@ class EdgeSelector(nn.Module):
         hd = D // nh
         ped_mask = (jnp.sum(attn_mask, axis=-1) > 0).astype(x.dtype)[..., None]
         x = x * ped_mask
-        x_nbr = jnp.broadcast_to(x[:, :, None, :], (B, nnode, nnode, d_motion))
-        x_tgt = jnp.broadcast_to(x[:, None, :, :], (B, nnode, nnode, d_motion))
-        Am = A * jnp.transpose(attn_mask, (0, 2, 1))[..., None]
+        if self.ghost:
+            x_aug = jnp.concatenate(
+                [x, jnp.zeros((B, 1, d_motion), x.dtype)], axis=1)
+            Am = A * jnp.transpose(attn_mask, (0, 2, 1))[..., None]
+            Am = jnp.concatenate(
+                [Am, jnp.zeros((B, 1, nnode, d_motion), A.dtype)], axis=1)
+            # ghost column always attendable (edge_selector_ghost.py:77-78)
+            attn_mask = jnp.concatenate(
+                [attn_mask, jnp.ones((B, nnode, 1), attn_mask.dtype)], axis=2)
+        else:
+            x_aug = x
+            Am = A * jnp.transpose(attn_mask, (0, 2, 1))[..., None]
+        n_nbr = x_aug.shape[1]
+        x_nbr = jnp.broadcast_to(x_aug[:, :, None, :],
+                                 (B, n_nbr, nnode, d_motion))
+        x_tgt = jnp.broadcast_to(x[:, None, :, :], (B, n_nbr, nnode, d_motion))
         aug = jnp.concatenate([x_nbr, x_tgt, Am], axis=-1)
         aug = nn.Dense(D, name="augmented_edge_embedding")(aug)
         aug = nn.LayerNorm(name="norm_augmented_edge")(aug)
-        # (B, target, neighbor, D) -> rows of neighbors per target
-        rows = jnp.transpose(aug, (0, 2, 1, 3)).reshape(B * nnode, nnode, D)
+        # (B, neighbor, target, D) -> rows of neighbors per target
+        rows = jnp.transpose(aug, (0, 2, 1, 3)).reshape(B * nnode, n_nbr, D)
 
         w_in = self.param("in_proj_weight", nn.initializers.xavier_uniform(),
                           (D, 3 * D))
@@ -128,12 +150,12 @@ class EdgeSelector(nn.Module):
         k = rows @ w_in[:, D:2 * D] + b_in[D:2 * D]
         v = rows @ w_in[:, 2 * D:] + b_in[2 * D:]
         nbr_mask = (attn_mask[:, :, :, None] * attn_mask[:, :, None, :]) \
-            .reshape(B * nnode, nnode, nnode)
+            .reshape(B * nnode, n_nbr, n_nbr)
         heads, _ = masked_renorm_attention(q, k, v, nbr_mask, nh)
         # out_proj exists in the torch module but its per-head raw outputs are
         # what EdgeSelector consumes (mha.py:247-253); keep params for import
-        _ = nn.Dense(D, name="out_proj")(heads.reshape(B * nnode, nnode, D))
-        heads = heads.reshape(B, nnode, nnode, nh, hd)
+        _ = nn.Dense(D, name="out_proj")(heads.reshape(B * nnode, n_nbr, D))
+        heads = heads.reshape(B, nnode, n_nbr, nh, hd)
         heads = jnp.transpose(heads, (0, 1, 3, 2, 4))  # (B, tgt, nh, nbr, hd)
         z = nn.relu(nn.Dense(hd, name="linear1")(heads))
         z = nn.Dropout(self.dropout, deterministic=deterministic)(z)
@@ -156,23 +178,26 @@ class GumbelSocialTransformer(nn.Module):
                  key=None, deterministic: bool = True):
         cfg = self.cfg
         B, nnode = attn_mask.shape[0], attn_mask.shape[1]
+        if cfg.ghost and cfg.spatial_num_heads_edges == 0:
+            # gumbel_social_transformer.py:10-11
+            raise ValueError("Full connectivity conflicts with ghost mode")
         if cfg.spatial_num_heads_edges != 0:
             multinomial, sampled = EdgeSelector(
                 cfg.motion_dim, cfg.embedding_size,
-                nhead=cfg.spatial_num_heads_edges,
+                nhead=cfg.spatial_num_heads_edges, ghost=cfg.ghost,
                 name="edge_selector")(x, A, attn_mask, tau, hard, key,
                                       deterministic)
         else:
             # full connectivity (gumbel_social_transformer.py:83-86)
             sampled = jnp.ones((B, nnode, 1, nnode)) * attn_mask[:, :, None, :]
             multinomial = sampled
-        adj = jnp.sum(sampled, axis=2)                       # (B, tgt, nbr)
+        adj = jnp.sum(sampled, axis=2)                  # (B, tgt, nbr[+ghost])
         h = nn.Dense(cfg.embedding_size, name="node_embedding")(x)
         weights = []
         for i in range(cfg.spatial_num_layers):
             h, w = NodeEncoderLayer(
                 cfg.embedding_size, cfg.spatial_num_heads,
-                cfg.dim_feedforward, name=f"layer_{i}")(
+                cfg.dim_feedforward, ghost=cfg.ghost, name=f"layer_{i}")(
                     h, adj, attn_mask, deterministic)
             weights.append(w)
         return h, sampled, multinomial, jnp.stack(weights)
