@@ -182,6 +182,9 @@ class NetworkConfig:
     # self-attention stack (selfAttn_srnn_temp_node.py:29-30)
     num_attn_heads: int = 8
     attn_size: int = 512
+    # route the human-human attention through the Pallas packed kernel
+    # (ops/masked_attention.py) instead of the XLA einsum path
+    use_pallas_attention: bool = False
 
 
 @_frozen

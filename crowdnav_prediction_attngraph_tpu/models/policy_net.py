@@ -81,6 +81,7 @@ class SpatialEdgeSelfAttn(nn.Module):
     input_size: int
     attn_size: int = 512
     num_heads: int = 8
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, inp, attn_mask):
@@ -102,13 +103,17 @@ class SpatialEdgeSelfAttn(nn.Module):
         k = k @ w_in[:, D:2 * D] + b_in[D:2 * D]
         v = v @ w_in[:, 2 * D:] + b_in[2 * D:]
 
-        q = q.reshape(rows, A, nh, hd)
-        k = k.reshape(rows, A, nh, hd)
-        v = v.reshape(rows, A, nh, hd)
-        logits = jnp.einsum("rqhd,rkhd->rhqk", q, k) / math.sqrt(hd)
-        logits = jnp.where(attn_mask[:, None, None, :], logits, -jnp.inf)
-        w = jax.nn.softmax(logits, axis=-1)
-        out = jnp.einsum("rhqk,rkhd->rqhd", w, v).reshape(rows, A, D)
+        if self.use_pallas:
+            from ..ops.masked_attention import packed_masked_attention
+            out = packed_masked_attention(q, k, v, attn_mask, nh)
+        else:
+            qh = q.reshape(rows, A, nh, hd)
+            kh = k.reshape(rows, A, nh, hd)
+            vh = v.reshape(rows, A, nh, hd)
+            logits = jnp.einsum("rqhd,rkhd->rhqk", qh, kh) / math.sqrt(hd)
+            logits = jnp.where(attn_mask[:, None, None, :], logits, -jnp.inf)
+            w = jax.nn.softmax(logits, axis=-1)
+            out = jnp.einsum("rhqk,rkhd->rqhd", w, vh).reshape(rows, A, D)
         out = nn.Dense(D, name="mha_out_proj")(out)
         return out
 
@@ -205,7 +210,8 @@ class SelfAttnMergeSRNN(nn.Module):
         if net.use_self_attn:
             spatial_attn_out = SpatialEdgeSelfAttn(
                 input_size=cfg.spatial_edge_dim, attn_size=net.attn_size,
-                num_heads=net.num_attn_heads, name="spatial_attn")(
+                num_heads=net.num_attn_heads,
+                use_pallas=net.use_pallas_attention, name="spatial_attn")(
                     spatial_edges, attn_mask)
             output_spatial = nn.relu(
                 nn.Dense(256, name="spatial_linear", kernel_init=orth2,
