@@ -24,6 +24,15 @@ from .config import varnum_config
 from .env import collect
 
 
+
+def _apply_platform_env():
+    """Honor JAX_PLATFORMS even though the container sitecustomize pre-registers
+    the axon TPU plugin (which otherwise wins)."""
+    import os
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and "axon" not in want:
+        jax.config.update("jax_platforms", want)
+
 def collect_dataset(cfg, num_envs: int, tot_steps: int, seed: int = 0,
                     chunk: int = 64):
     """Returns per-env lists of (frame, id, x, y) float rows."""
@@ -74,6 +83,7 @@ def main(argv=None):
     p.add_argument("--phase", default="train", choices=["train", "test"])
     p.add_argument("--out", default="data/orca_20humans")
     args = p.parse_args(argv)
+    _apply_platform_env()
 
     cfg = varnum_config(human_num=args.human_num)
     data = collect_dataset(cfg, args.num_envs, args.tot_steps, args.seed)

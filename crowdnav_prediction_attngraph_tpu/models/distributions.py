@@ -40,8 +40,12 @@ def log_prob(mean, logstd, actions):
 
 
 def entropy(logstd):
-    """Per-sample entropy summed over action dims (torch Normal.entropy().sum(-1))."""
-    return jnp.sum(0.5 + 0.5 * LOG_2PI + logstd, axis=-1)
+    """Per-dimension Gaussian entropies (torch Normal.entropy()).
+
+    The reference's scalar `dist_entropy` is `.entropy().mean()` — the mean
+    over batch AND action dims (FixedNormal's summed variant is dead code, a
+    typo'd `entrop`, distributions.py:40-41) — so callers take jnp.mean."""
+    return 0.5 + 0.5 * LOG_2PI + logstd
 
 
 def mode(mean):

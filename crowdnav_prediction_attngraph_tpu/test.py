@@ -28,6 +28,15 @@ from .train import build_config, load_gst_params
 from .utils import checkpoint as ckpt_util
 
 
+
+def _apply_platform_env():
+    """Honor JAX_PLATFORMS even though the container sitecustomize pre-registers
+    the axon TPU plugin (which otherwise wins)."""
+    import os
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and "axon" not in want:
+        jax.config.update("jax_platforms", want)
+
 def config_from_snapshot(path: str) -> config_mod.Config:
     with open(path) as f:
         d = json.load(f)
@@ -66,6 +75,7 @@ def main(argv=None):
                    choices=["network", "orca", "social_force"])
     p.add_argument("--gst-model-dir", default=None)
     args = p.parse_args(argv)
+    _apply_platform_env()
 
     if args.model_dir:
         cfg = config_from_snapshot(os.path.join(args.model_dir, "config.json"))

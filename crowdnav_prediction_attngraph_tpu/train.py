@@ -31,6 +31,15 @@ from .algo import ppo as ppo_mod
 from .utils import checkpoint as ckpt_util
 
 
+
+def _apply_platform_env():
+    """Honor JAX_PLATFORMS even though the container sitecustomize pre-registers
+    the axon TPU plugin (which otherwise wins)."""
+    import os
+    want = os.environ.get("JAX_PLATFORMS")
+    if want and "axon" not in want:
+        jax.config.update("jax_platforms", want)
+
 def build_config(args) -> Config:
     if args.env_name == "CrowdSimVarNum":
         cfg = varnum_config(human_num=args.human_num,
@@ -82,6 +91,7 @@ def main(argv=None):
     p.add_argument("--resume", default=None,
                    help="checkpoint directory to resume from")
     args = p.parse_args(argv)
+    _apply_platform_env()
 
     cfg = build_config(args)
     os.makedirs(args.output_dir, exist_ok=True)
