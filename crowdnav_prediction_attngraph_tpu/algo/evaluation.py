@@ -49,7 +49,7 @@ def evaluate(cfg: Config, params, gst_params=None,
     states, obs = jax.vmap(lambda i: _reset_case(cfg, base_seed, i))(
         jnp.arange(B))
     if cfg.sim.predict_method == "inferred":
-        states, obs, _ = jax.vmap(
+        states, obs, _, _ = jax.vmap(
             lambda s, o: pretext_process(cfg, gst_params, s, o,
                                          jnp.float32(0.0)))(states, obs)
     obs_d = obs_to_dict(obs)
@@ -71,7 +71,7 @@ def evaluate(cfg: Config, params, gst_params=None,
             lambda s, a: crowd_sim.step(cfg, s, a, "test", robot_policy))(
                 states, action)
         if cfg.sim.predict_method == "inferred":
-            states_new, obs_new, rew = jax.vmap(
+            states_new, obs_new, rew, _ = jax.vmap(
                 lambda s, o, r: pretext_process(cfg, gst_params, s, o, r))(
                     states_new, obs_new, rew)
         obs_new_d = obs_to_dict(obs_new)

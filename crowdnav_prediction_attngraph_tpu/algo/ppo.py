@@ -36,6 +36,7 @@ class TrainState:
     masks: jnp.ndarray                   # (N,)
     key: jnp.ndarray
     ep_return: jnp.ndarray               # (N,) running episode reward
+    ep_return_env: jnp.ndarray           # (N,) same, excluding GST penalties
     total_steps: jnp.ndarray             # () int64-ish counter
 
 
@@ -49,6 +50,8 @@ class RolloutBatch(NamedTuple):
     masks: jnp.ndarray                   # (T+1, N)
     bad_masks: jnp.ndarray               # (T+1, N)
     done_returns: jnp.ndarray            # (T, N) episode return where done else nan
+    done_returns_env: jnp.ndarray        # (T, N) same, env reward only (the
+                                         # reference Monitor metric)
 
 
 def make_optimizer(cfg: Config):
@@ -68,7 +71,8 @@ def init_train_state(cfg: Config, key, gst_params=None) -> TrainState:
     return TrainState(
         params=params, opt_state=tx.init(params), env_states=env_states,
         obs=obs_d, hxs=init_hidden(cfg, N), masks=jnp.ones((N,)), key=key,
-        ep_return=jnp.zeros((N,)), total_steps=jnp.zeros((), jnp.int32))
+        ep_return=jnp.zeros((N,)), ep_return_env=jnp.zeros((N,)),
+        total_steps=jnp.zeros((), jnp.int32))
 
 
 def rollout(cfg: Config, ts: TrainState, gst_params=None, phase="train"
@@ -77,26 +81,32 @@ def rollout(cfg: Config, ts: TrainState, gst_params=None, phase="train"
     T = cfg.ppo.num_steps
 
     def step_fn(carry, _):
-        env_states, obs, hxs, masks, key, ep_ret = carry
+        env_states, obs, hxs, masks, key, ep_ret, ep_ret_env = carry
         key, k_act = jax.random.split(key)
         value, action, log_prob, hxs_new = policy_mod.act(
             cfg, ts.params, obs, hxs, masks, k_act)
-        env_states, obs_next, rew, done, info = vector.vec_step(
+        env_states, obs_next, rew, done, info, penalty = vector.vec_step(
             cfg, env_states, action, phase, gst_params)
         ep_ret_next = ep_ret + rew
+        ep_env_next = ep_ret_env + rew - penalty
         done_ret = jnp.where(done, ep_ret_next, jnp.nan)
+        done_ret_env = jnp.where(done, ep_env_next, jnp.nan)
         ep_ret_next = jnp.where(done, 0.0, ep_ret_next)
+        ep_env_next = jnp.where(done, 0.0, ep_env_next)
         masks_next = 1.0 - done.astype(jnp.float32)
         bad_next = jnp.where(info.outcome == OUTCOME_TIMEOUT, 0.0, 1.0)
-        out = (obs, value, action, log_prob, rew, masks, done_ret, bad_next)
+        out = (obs, value, action, log_prob, rew, masks, done_ret,
+               done_ret_env, bad_next)
         return ((env_states, obs_to_dict(obs_next), hxs_new, masks_next, key,
-                 ep_ret_next), out)
+                 ep_ret_next, ep_env_next), out)
 
-    carry0 = (ts.env_states, ts.obs, ts.hxs, ts.masks, ts.key, ts.ep_return)
+    carry0 = (ts.env_states, ts.obs, ts.hxs, ts.masks, ts.key, ts.ep_return,
+              ts.ep_return_env)
     carry, outs = jax.lax.scan(step_fn, carry0, None, length=T)
-    (env_states, obs_last, hxs_last, masks_last, key, ep_ret) = carry
+    (env_states, obs_last, hxs_last, masks_last, key, ep_ret,
+     ep_ret_env) = carry
     (obs_seq, values, actions, log_probs, rewards, masks_seq, done_rets,
-     bad_seq) = outs
+     done_rets_env, bad_seq) = outs
 
     # bootstrap value for the T+1 slot (train.py:200-207)
     last_value = policy_mod.get_value(cfg, ts.params, obs_last, hxs_last,
@@ -111,9 +121,11 @@ def rollout(cfg: Config, ts: TrainState, gst_params=None, phase="train"
     batch = RolloutBatch(
         obs=obs_full, hxs0=ts.hxs, actions=actions, log_probs=log_probs,
         values=values_full, rewards=rewards, masks=masks_full,
-        bad_masks=bad_full, done_returns=done_rets)
+        bad_masks=bad_full, done_returns=done_rets,
+        done_returns_env=done_rets_env)
     ts = ts.replace(env_states=env_states, obs=obs_last, hxs=hxs_last,
                     masks=masks_last, key=key, ep_return=ep_ret,
+                    ep_return_env=ep_ret_env,
                     total_steps=ts.total_steps + T * cfg.ppo.num_processes)
     return ts, batch
 
@@ -205,5 +217,6 @@ def train_iteration(cfg: Config, ts: TrainState, gst_params=None):
                                             batch, k_up)
     ts = ts.replace(params=params, opt_state=opt_state, key=key)
     metrics["done_returns"] = batch.done_returns
+    metrics["done_returns_env"] = batch.done_returns_env
     metrics["reward_mean"] = jnp.mean(batch.rewards)
     return ts, metrics

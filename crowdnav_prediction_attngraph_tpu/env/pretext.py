@@ -28,7 +28,7 @@ def pretext_process(cfg: Config, gst_params, state: EnvState,
     """Push history, predict 5-step futures, rewrite spatial_edges, add the
     future-collision penalty, sort humans by distance.
 
-    Returns (new_state, new_obs, new_rew)."""
+    Returns (new_state, new_obs, new_rew, penalty)."""
     A = cfg.sim.max_human_num
     K = cfg.sim.predict_steps
     robot_pos = obs.robot_node[:2]
@@ -52,7 +52,8 @@ def pretext_process(cfg: Config, gst_params, state: EnvState,
     hit = hit & out_mask[:, None]
     coeff = 2.0 ** jnp.arange(2, K + 2)                        # 4..64
     penalties = cfg.reward.collision_penalty / coeff           # negative
-    rew = rew + jnp.min(hit * penalties[None, :])
+    penalty = jnp.min(hit * penalties[None, :])
+    rew = rew + penalty
 
     # robot-frame predictions into spatial_edges[:, 2:] only where predicted
     # (vec_pretext_normalize.py:162-170)
@@ -66,4 +67,4 @@ def pretext_process(cfg: Config, gst_params, state: EnvState,
     edges = edges[order]
 
     obs = obs.replace(spatial_edges=edges)
-    return state, obs, rew
+    return state, obs, rew, penalty

@@ -25,8 +25,10 @@ def vec_reset(cfg: Config, key, n_envs: int):
 
 def vec_step(cfg: Config, states: EnvState, actions, phase: str = "train",
              gst_params=None):
-    """Batched step with auto-reset. Returns
-    (states', obs', rewards (B,), dones (B,), infos)."""
+    """Batched step with auto-reset. Returns (states', obs', rewards (B,),
+    dones (B,), infos, pretext_penalties (B,)) — the penalty component is
+    reported separately so episode-reward metrics can match the reference's
+    Monitor (which sits below the predictor wrapper and excludes it)."""
     states, obs, rew, done, info = jax.vmap(
         lambda s, a: crowd_sim.step(cfg, s, a, phase))(states, actions)
 
@@ -46,17 +48,19 @@ def vec_step(cfg: Config, states: EnvState, actions, phase: str = "train",
     if cfg.sim.predict_method == "inferred":
         if gst_params is None:
             raise ValueError("GST env requires gst_params")
-        states, obs, rew = jax.vmap(
+        states, obs, rew, penalty = jax.vmap(
             lambda s, o, r: pretext_process(cfg, gst_params, s, o, r))(
                 states, obs, rew)
-    return states, obs, rew, done, info
+    else:
+        penalty = jnp.zeros_like(rew)
+    return states, obs, rew, done, info, penalty
 
 
 def vec_reset_with_pretext(cfg: Config, key, n_envs: int, gst_params=None):
     """Reset + initial pretext pass (VecPretextNormalize.reset:85-101)."""
     states, obs = vec_reset(cfg, key, n_envs)
     if cfg.sim.predict_method == "inferred":
-        states, obs, _ = jax.vmap(
+        states, obs, _, _ = jax.vmap(
             lambda s, o: pretext_process(cfg, gst_params, s, o,
                                          jnp.float32(0.0)))(states, obs)
     return states, obs

@@ -112,6 +112,7 @@ def main(argv=None):
     num_updates = int(cfg.ppo.num_env_steps) // cfg.ppo.num_steps \
         // cfg.ppo.num_processes
     episode_rewards = collections.deque(maxlen=100)
+    episode_rewards_env = collections.deque(maxlen=100)  # reference Monitor metric
     start = time.time()
     csv_path = os.path.join(args.output_dir, "progress.csv")
 
@@ -120,6 +121,9 @@ def main(argv=None):
 
         done_rets = np.asarray(metrics["done_returns"])
         episode_rewards.extend(done_rets[~np.isnan(done_rets)].tolist())
+        done_rets_env = np.asarray(metrics["done_returns_env"])
+        episode_rewards_env.extend(
+            done_rets_env[~np.isnan(done_rets_env)].tolist())
 
         if j % args.save_interval == 0 or j == num_updates - 1:
             ckpt_util.save_train_state(
@@ -133,6 +137,7 @@ def main(argv=None):
                 "misc/total_timesteps": total_num_steps,
                 "fps": fps,
                 "eprewmean": float(np.mean(episode_rewards)),
+                "eprewmean_env": float(np.mean(episode_rewards_env)),
                 "loss/policy_entropy": float(metrics["dist_entropy"]),
                 "loss/policy_loss": float(metrics["action_loss"]),
                 "loss/value_loss": float(metrics["value_loss"]),

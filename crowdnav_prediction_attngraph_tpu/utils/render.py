@@ -98,8 +98,8 @@ def record_episode(cfg, params=None, gst_params=None, case_idx: int = 0,
 
     state, obs = _reset_case(cfg, base_seed, jnp.int32(case_idx))
     if cfg.sim.predict_method == "inferred" and gst_params is not None:
-        state, obs, _ = pretext_process(cfg, gst_params, state, obs,
-                                        jnp.float32(0.0))
+        state, obs, _, _ = pretext_process(cfg, gst_params, state, obs,
+                                           jnp.float32(0.0))
     hxs = init_hidden(cfg, 1)
     masks = jnp.ones((1,))
     step = jax.jit(lambda s, a: crowd_sim.step(cfg, s, a, "test", robot_policy))
