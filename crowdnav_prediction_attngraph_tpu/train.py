@@ -90,6 +90,9 @@ def main(argv=None):
     p.add_argument("--gst-model-dir", default=None)
     p.add_argument("--resume", default=None,
                    help="checkpoint directory to resume from")
+    p.add_argument("--eval-interval", type=int, default=0,
+                   help="run a deterministic eval every N updates (0 = off)")
+    p.add_argument("--eval-size", type=int, default=50)
     args = p.parse_args(argv)
     _apply_platform_env()
 
@@ -124,6 +127,16 @@ def main(argv=None):
         done_rets_env = np.asarray(metrics["done_returns_env"])
         episode_rewards_env.extend(
             done_rets_env[~np.isnan(done_rets_env)].tolist())
+
+        if args.eval_interval and j % args.eval_interval == 0 and j > 0:
+            from .algo import evaluation
+            r = evaluation.evaluate(cfg, ts.params, gst_params,
+                                    test_size=args.eval_size)
+            print(f"[eval @ update {j}] " + evaluation.format_results(r))
+            with open(os.path.join(args.output_dir, "eval_history.csv"),
+                      "a") as f:
+                f.write(f"{j},{r['success_rate']},{r['collision_rate']},"
+                        f"{r['timeout_rate']},{r['nav_time']}\n")
 
         if j % args.save_interval == 0 or j == num_updates - 1:
             ckpt_util.save_train_state(
