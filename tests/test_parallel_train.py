@@ -1,0 +1,71 @@
+"""Sharded training step on the virtual 8-device mesh + checkpoint round trip."""
+
+import os
+import tempfile
+
+import numpy as np
+import pytest
+
+import jax
+
+from crowdnav_prediction_attngraph_tpu.config import varnum_config
+from crowdnav_prediction_attngraph_tpu.algo import ppo as ppo_mod
+
+
+def small_cfg(n_envs=8):
+    cfg = varnum_config(human_num=3)
+    return cfg.replace(ppo=cfg.ppo.__class__(
+        num_processes=n_envs, num_steps=4, num_mini_batch=2, ppo_epoch=1))
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 devices")
+def test_sharded_iteration_dp_tp():
+    from crowdnav_prediction_attngraph_tpu.parallel import mesh as mesh_mod
+    from crowdnav_prediction_attngraph_tpu.parallel import train_step
+
+    mesh = mesh_mod.make_mesh(8, tp=2)       # dp=4 x tp=2
+    cfg = small_cfg(n_envs=8)
+    with mesh:
+        ts = train_step.init_sharded(cfg, jax.random.key(0), mesh)
+        it = train_step.make_sharded_iteration(cfg, mesh)
+        ts, metrics = it(ts)
+        jax.block_until_ready(metrics["value_loss"])
+    assert np.isfinite(float(metrics["value_loss"]))
+    # params stayed replicated-consistent across the mesh
+    leaf = jax.tree.leaves(ts.params)[0]
+    assert np.all(np.isfinite(np.asarray(leaf)))
+
+
+def test_sharded_matches_single_device():
+    """dp-sharded training must produce the same params as single-device
+    (same program, deterministic keys)."""
+    from crowdnav_prediction_attngraph_tpu.parallel import mesh as mesh_mod
+    from crowdnav_prediction_attngraph_tpu.parallel import train_step
+
+    cfg = small_cfg(n_envs=8)
+    ts1 = ppo_mod.init_train_state(cfg, jax.random.key(0))
+    ts1, m1 = jax.jit(lambda t: ppo_mod.train_iteration(cfg, t))(ts1)
+
+    mesh = mesh_mod.make_mesh(4, tp=1)
+    with mesh:
+        ts2 = train_step.init_sharded(cfg, jax.random.key(0), mesh)
+        it = train_step.make_sharded_iteration(cfg, mesh)
+        ts2, m2 = it(ts2)
+    np.testing.assert_allclose(float(m1["value_loss"]), float(m2["value_loss"]),
+                               rtol=1e-4)
+    a = jax.tree.leaves(ts1.params)[0]
+    b = jax.tree.leaves(ts2.params)[0]
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    from crowdnav_prediction_attngraph_tpu.utils import checkpoint as ck
+
+    cfg = small_cfg(n_envs=4)
+    ts = ppo_mod.init_train_state(cfg, jax.random.key(0))
+    ck.save_train_state(str(tmp_path / "ckpts"), ts, 7)
+    ts2 = ppo_mod.init_train_state(cfg, jax.random.key(1))
+    ts2, nxt = ck.restore_train_state(str(tmp_path / "ckpts"), ts2)
+    assert nxt == 8
+    for a, b in zip(jax.tree.leaves(ts.params), jax.tree.leaves(ts2.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
