@@ -55,7 +55,10 @@ def build_config(args) -> Config:
         raise ValueError(args.env_name)
     ppo = dataclasses.replace(
         cfg.ppo, num_processes=args.num_processes, num_steps=args.num_steps,
-        num_env_steps=args.num_env_steps, lr=args.lr, seed=args.seed)
+        num_env_steps=args.num_env_steps, lr=args.lr, seed=args.seed,
+        num_mini_batch=getattr(args, "num_mini_batch", 2),
+        ppo_epoch=getattr(args, "ppo_epoch", 5),
+        entropy_coef=getattr(args, "entropy_coef", 0.0))
     return cfg.replace(ppo=ppo)
 
 
@@ -84,6 +87,9 @@ def main(argv=None):
     p.add_argument("--num-steps", type=int, default=30)
     p.add_argument("--num-env-steps", type=int, default=20_000_000)
     p.add_argument("--lr", type=float, default=4e-5)
+    p.add_argument("--num-mini-batch", type=int, default=2)
+    p.add_argument("--ppo-epoch", type=int, default=5)
+    p.add_argument("--entropy-coef", type=float, default=0.0)
     p.add_argument("--seed", type=int, default=425)
     p.add_argument("--log-interval", type=int, default=20)
     p.add_argument("--save-interval", type=int, default=200)
