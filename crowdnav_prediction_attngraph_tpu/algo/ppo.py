@@ -55,9 +55,20 @@ class RolloutBatch(NamedTuple):
 
 
 def make_optimizer(cfg: Config):
+    p = cfg.ppo
+    if p.use_linear_lr_decay:
+        # reference network_utils.py:45-50: lr_j = lr * (1 - j/num_updates),
+        # stepped once per update; here expressed over Adam steps (each update
+        # applies ppo_epoch*num_mini_batch of them) as an optax schedule.
+        num_updates = int(p.num_env_steps) // p.num_steps // p.num_processes
+        lr = optax.linear_schedule(
+            init_value=p.lr, end_value=0.0,
+            transition_steps=num_updates * p.ppo_epoch * p.num_mini_batch)
+    else:
+        lr = p.lr
     return optax.chain(
-        optax.clip_by_global_norm(cfg.ppo.max_grad_norm),
-        optax.adam(cfg.ppo.lr, eps=cfg.ppo.eps),
+        optax.clip_by_global_norm(p.max_grad_norm),
+        optax.adam(lr, eps=p.eps),
     )
 
 

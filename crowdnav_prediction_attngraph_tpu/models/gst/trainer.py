@@ -54,6 +54,38 @@ def make_optimizer(lr: float, temp_epochs: int, steps_per_epoch: int,
     return optax.chain(*chain)
 
 
+def rotate_graph(v, A, theta):
+    """Rotate node displacements and pairwise edges by per-window angles
+    (reference mgnn/utils.py:66-84 ``rotate_graph``).
+
+    v: (B, seq, P, 2), A: (B, seq, P, P, 2), theta: (B,) radians.
+    """
+    def rot(x):
+        shape = (x.shape[0],) + (1,) * (x.ndim - 2)
+        c = jnp.cos(theta).reshape(shape)
+        s = jnp.sin(theta).reshape(shape)
+        return jnp.stack([x[..., 0] * c - x[..., 1] * s,
+                          x[..., 0] * s + x[..., 1] * c], axis=-1)
+    return rot(v), rot(A)
+
+
+def random_rotate_batch(batch, key, pattern: str):
+    """Random-rotation augmentation (reference mgnn/utils.py:86-98
+    ``random_rotate_graph``); the reference draws one angle per graph
+    (its batches are single graphs), here one angle per window in the batch.
+    Masks are rotation-invariant and left untouched."""
+    B = batch["v"].shape[0]
+    if pattern == "right_angle":
+        theta = (jax.random.randint(key, (B,), 0, 4).astype(jnp.float32)
+                 * (jnp.pi / 2.0))
+    elif pattern == "random":
+        theta = jax.random.uniform(key, (B,)) * (2.0 * jnp.pi)
+    else:
+        raise ValueError(f"unknown rotation pattern {pattern!r}")
+    v, A = rotate_graph(batch["v"], batch["A"], theta)
+    return dict(batch, v=v, A=A)
+
+
 def loss_fn(cfg: PredConfig, params, batch, tau, key, deterministic_loss):
     model = STModel(cfg)
     obs = cfg.obs_seq_len
@@ -80,9 +112,13 @@ def loss_fn(cfg: PredConfig, params, batch, tau, key, deterministic_loss):
     return loss, (jnp.sum(aoe) / denom, jnp.sum(foe) / denom)
 
 
-def make_train_step(cfg: PredConfig, tx, deterministic_loss: bool):
+def make_train_step(cfg: PredConfig, tx, deterministic_loss: bool,
+                    rotation_pattern: str | None = None):
     @jax.jit
     def step(params, opt_state, batch, tau, key):
+        if rotation_pattern is not None:
+            key, k_rot = jax.random.split(key)
+            batch = random_rotate_batch(batch, k_rot, rotation_pattern)
         (loss, (aoe, foe)), grads = jax.value_and_grad(
             loss_fn, argnums=1, has_aux=True)(cfg, params, batch, tau, key,
                                               deterministic_loss)
@@ -115,33 +151,50 @@ def train(cfg: PredConfig, train_windows, val_windows, out_dir: str,
           epochs: int = 100, temp_epochs: int = 100, lr: float = 1e-3,
           batch_size: int = 16, init_temp: float = 0.5, seed: int = 1000,
           deterministic_loss: bool = False, save_epochs: int = 10,
-          max_peds: int = 32):
-    rng = np.random.RandomState(seed)
-    key = jax.random.key(seed)
-    key, k_init = jax.random.split(key)
-    params = init_params(cfg, k_init, max_peds)
+          max_peds: int = 32, rotation_pattern: str | None = None,
+          resume_epoch: int = 0):
+    """Epoch loop (gst train.py:50-195). Per-epoch RNG is derived by
+    ``fold_in(seed, epoch)`` so resuming from epoch k reproduces the exact
+    run that never stopped (the reference restores its schedulers on resume,
+    gst train.py:59-98; here the LR/temperature schedules are pure functions
+    of the restored optimizer step count and epoch index)."""
+    base_key = jax.random.key(seed)
+    params = init_params(cfg, jax.random.fold_in(base_key, 0), max_peds)
     steps_per_epoch = max(len(train_windows) // batch_size, 1)
     tx = make_optimizer(lr, temp_epochs, steps_per_epoch)
     opt_state = tx.init(params)
-    tstep = make_train_step(cfg, tx, deterministic_loss)
+    tstep = make_train_step(cfg, tx, deterministic_loss, rotation_pattern)
     estep = make_eval_step(cfg, deterministic_loss)
 
     os.makedirs(out_dir, exist_ok=True)
     hist = {"train_loss": [], "val_loss": [], "train_aoe": [], "val_aoe": [],
             "train_foe": [], "val_foe": []}
-    for epoch in range(1, epochs + 1):
+    if resume_epoch:
+        from ...utils.checkpoint import restore_trainer_checkpoint
+        params, opt_state = restore_trainer_checkpoint(
+            os.path.join(out_dir, f"epoch_{resume_epoch}"), params, opt_state)
+        hist_path = os.path.join(out_dir, "train_hist.json")
+        if os.path.exists(hist_path):
+            with open(hist_path) as f:
+                saved = json.load(f)
+            hist = {k: saved.get(k, [])[:resume_epoch] for k in hist}
+    for epoch in range(resume_epoch + 1, epochs + 1):
         tau = temperature(epoch, temp_epochs, init_temp)
         t0 = time.time()
+        ekey = jax.random.fold_in(base_key, epoch)
+        rng = np.random.RandomState(seed + epoch)
         tl, ta, tf = [], [], []
-        for batch in ds.batches(train_windows, batch_size, rng):
-            key, k = jax.random.split(key)
+        for i, batch in enumerate(ds.batches(train_windows, batch_size, rng)):
+            k = jax.random.fold_in(ekey, i)
             batch = jax.tree.map(jnp.asarray, batch)
             params, opt_state, loss, aoe, foe = tstep(params, opt_state,
                                                       batch, tau, k)
             tl.append(float(loss)); ta.append(float(aoe)); tf.append(float(foe))
         vl, va, vf = [], [], []
-        for batch in ds.batches(val_windows, batch_size, rng, shuffle=False):
-            key, k = jax.random.split(key)
+        vkey = jax.random.fold_in(ekey, 1 << 20)
+        for i, batch in enumerate(ds.batches(val_windows, batch_size, rng,
+                                             shuffle=False)):
+            k = jax.random.fold_in(vkey, i)
             batch = jax.tree.map(jnp.asarray, batch)
             loss, aoe, foe = estep(params, batch, tau, k)
             vl.append(float(loss)); va.append(float(aoe)); vf.append(float(foe))
@@ -155,8 +208,9 @@ def train(cfg: PredConfig, train_windows, val_windows, out_dir: str,
               f"val aoe {hist['val_aoe'][-1]:.4f} | "
               f"tau {tau:.3f} | {time.time()-t0:.1f}s")
         if epoch % save_epochs == 0 or epoch == epochs:
-            from ...utils.checkpoint import save_params
-            save_params(os.path.join(out_dir, f"epoch_{epoch}"), params)
+            from ...utils.checkpoint import save_trainer_checkpoint
+            save_trainer_checkpoint(os.path.join(out_dir, f"epoch_{epoch}"),
+                                    params, opt_state)
             with open(os.path.join(out_dir, "train_hist.json"), "w") as f:
                 json.dump(hist, f)
     return params, hist
@@ -174,6 +228,13 @@ def main(argv=None):
     p.add_argument("--seed", type=int, default=1000)
     p.add_argument("--deterministic", action="store_true")
     p.add_argument("--edge-heads", type=int, default=0)
+    p.add_argument("--rotation-pattern", default=None,
+                   choices=["random", "right_angle"],
+                   help="random-rotation augmentation "
+                        "(reference mgnn/utils.py:86-98)")
+    p.add_argument("--resume-epoch", type=int, default=0,
+                   help="resume from <out>/epoch_N (reference "
+                        "--resume_training/--resume_epoch)")
     args = p.parse_args(argv)
 
     cfg = PredConfig(spatial_num_heads_edges=args.edge_heads)
@@ -187,7 +248,9 @@ def main(argv=None):
     train(cfg, train_w, val_w, args.out, epochs=args.epochs,
           temp_epochs=args.temp_epochs, lr=args.lr,
           batch_size=args.batch_size, seed=args.seed,
-          deterministic_loss=args.deterministic, max_peds=args.max_peds)
+          deterministic_loss=args.deterministic, max_peds=args.max_peds,
+          rotation_pattern=args.rotation_pattern,
+          resume_epoch=args.resume_epoch)
 
 
 if __name__ == "__main__":

@@ -58,7 +58,8 @@ def build_config(args) -> Config:
         num_env_steps=args.num_env_steps, lr=args.lr, seed=args.seed,
         num_mini_batch=getattr(args, "num_mini_batch", 2),
         ppo_epoch=getattr(args, "ppo_epoch", 5),
-        entropy_coef=getattr(args, "entropy_coef", 0.0))
+        entropy_coef=getattr(args, "entropy_coef", 0.0),
+        use_linear_lr_decay=getattr(args, "use_linear_lr_decay", False))
     return cfg.replace(ppo=ppo)
 
 
@@ -90,6 +91,8 @@ def main(argv=None):
     p.add_argument("--num-mini-batch", type=int, default=2)
     p.add_argument("--ppo-epoch", type=int, default=5)
     p.add_argument("--entropy-coef", type=float, default=0.0)
+    p.add_argument("--use-linear-lr-decay", action="store_true",
+                   help="linear lr schedule (reference arguments.py:121-124)")
     p.add_argument("--seed", type=int, default=425)
     p.add_argument("--log-interval", type=int, default=20)
     p.add_argument("--save-interval", type=int, default=200)

@@ -50,3 +50,20 @@ def load_params(path: str, template):
     with ocp.StandardCheckpointer() as cptr:
         return cptr.restore(os.path.abspath(path),
                             {"params": template})["params"]
+
+
+def save_trainer_checkpoint(path: str, params, opt_state):
+    """GST-trainer checkpoint: params at ``path`` (load_params-compatible),
+    optimizer state beside it (reference gst train.py:173-191 saves both)."""
+    save_params(path, params)
+    with ocp.StandardCheckpointer() as cptr:
+        cptr.save(os.path.abspath(path) + "__opt", {"opt_state": opt_state},
+                  force=True)
+
+
+def restore_trainer_checkpoint(path: str, params_template, opt_template):
+    params = load_params(path, params_template)
+    with ocp.StandardCheckpointer() as cptr:
+        opt_state = cptr.restore(os.path.abspath(path) + "__opt",
+                                 {"opt_state": opt_template})["opt_state"]
+    return params, opt_state

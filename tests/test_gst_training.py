@@ -60,6 +60,58 @@ def test_windows_and_training_step(records):
     assert losses[-1] < losses[0], f"GST loss did not decrease: {losses}"
 
 
+def test_rotation_augmentation(records):
+    arr = np.asarray(records[0])
+    windows = ds.build_windows(arr, obs_len=5, pred_len=5, max_peds=8)
+    rng = np.random.RandomState(0)
+    batch = next(ds.batches(windows, min(4, len(windows)), rng))
+    v = jnp.asarray(batch["v"]); A = jnp.asarray(batch["A"])
+    B = v.shape[0]
+    # theta = 0 is the identity
+    v0, A0 = trainer.rotate_graph(v, A, jnp.zeros((B,)))
+    np.testing.assert_allclose(v0, v, atol=1e-6)
+    np.testing.assert_allclose(A0, A, atol=1e-6)
+    # theta = pi/2 maps (x, y) -> (-y, x)
+    v9, A9 = trainer.rotate_graph(v, A, jnp.full((B,), jnp.pi / 2))
+    np.testing.assert_allclose(v9[..., 0], -v[..., 1], atol=1e-6)
+    np.testing.assert_allclose(v9[..., 1], v[..., 0], atol=1e-6)
+    np.testing.assert_allclose(A9[..., 0], -A[..., 1], atol=1e-6)
+    # rotations preserve norms (pairwise distances / speeds unchanged)
+    rb = trainer.random_rotate_batch(
+        {"v": v, "A": A}, jax.random.key(3), "random")
+    np.testing.assert_allclose(np.linalg.norm(rb["v"], axis=-1),
+                               np.linalg.norm(v, axis=-1), atol=1e-5)
+    np.testing.assert_allclose(np.linalg.norm(rb["A"], axis=-1),
+                               np.linalg.norm(A, axis=-1), atol=1e-5)
+    # right_angle pattern draws multiples of pi/2: x/y components stay on grid
+    rb2 = trainer.random_rotate_batch(
+        {"v": v, "A": A}, jax.random.key(4), "right_angle")
+    mag = np.linalg.norm(rb2["v"], axis=-1)
+    comp = np.abs(rb2["v"])
+    assert np.all((np.isclose(comp[..., 0], 0, atol=1e-5)
+                   | np.isclose(comp[..., 0], mag, atol=1e-5))
+                  | (comp[..., 0] <= mag + 1e-5))
+
+
+def test_trainer_resume_parity(records, tmp_path):
+    """Training 4 epochs straight == 2 epochs + resume for 2 more
+    (the reference restores Adam/LR/temperature schedulers on resume,
+    gst train.py:59-98)."""
+    arr = np.asarray(records[0])
+    windows = ds.build_windows(arr, obs_len=5, pred_len=5, max_peds=8)
+    cfg = PredConfig()
+    kw = dict(epochs=4, temp_epochs=4, lr=1e-3, batch_size=4, seed=7,
+              save_epochs=2, max_peds=8, rotation_pattern="random")
+    p_straight, _ = trainer.train(cfg, windows, windows[:4],
+                                  str(tmp_path / "a"), **kw)
+    trainer.train(cfg, windows, windows[:4], str(tmp_path / "b"),
+                  **{**kw, "epochs": 2})
+    p_resumed, _ = trainer.train(cfg, windows, windows[:4],
+                                 str(tmp_path / "b"), **kw, resume_epoch=2)
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
+                 p_straight, p_resumed)
+
+
 def test_temperature_schedule():
     # temperature_scheduler.py:12-20 endpoints
     assert trainer.temperature(0, 100, 0.5) == pytest.approx(0.5)
