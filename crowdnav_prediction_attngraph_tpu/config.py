@@ -127,6 +127,19 @@ class SocialForceConfig:
 
 
 @_frozen
+class LidarConfig:
+    """Lidar sensor (reference config.py:145-150).
+
+    In the reference this group is declared but never consumed by any shipped
+    env (only the ROS env mentions the lidar frame in a comment); here it
+    parameterizes the optional ``env.lidar.scan`` ray-cast observation op.
+    """
+
+    angular_res: float = 5.0          # config.py:148 (degrees between rays)
+    range: float = 10.0               # config.py:150 (meters)
+
+
+@_frozen
 class DataConfig:
     """GST data collection (reference config.py:129-137)."""
 
@@ -233,6 +246,7 @@ class Config:
     action_space: ActionSpaceConfig = ActionSpaceConfig()
     orca: OrcaConfig = OrcaConfig()
     sf: SocialForceConfig = SocialForceConfig()
+    lidar: LidarConfig = LidarConfig()
     data: DataConfig = DataConfig()
     pred: PredConfig = PredConfig()
     network: NetworkConfig = NetworkConfig()

@@ -74,6 +74,18 @@ def main(argv=None):
     p.add_argument("--robot-policy", default="network",
                    choices=["network", "orca", "social_force"])
     p.add_argument("--gst-model-dir", default=None)
+    p.add_argument("--ckpt-step", type=int, default=None,
+                   help="checkpoint update index to test (reference test.py "
+                        "--test_model); default: latest")
+    p.add_argument("--visualize", action="store_true",
+                   help="render one episode live instead of running the "
+                        "suite (reference test.py --visualize)")
+    p.add_argument("--test-case", type=int, default=0,
+                   help="case index to visualize (reference test.py "
+                        "--test_case)")
+    p.add_argument("--render-out", default=None,
+                   help="GIF path for --visualize (default "
+                        "<model-dir>/test/case_<N>.gif)")
     args = p.parse_args(argv)
     _apply_platform_env()
 
@@ -92,11 +104,24 @@ def main(argv=None):
         ts = ppo_mod.init_train_state(cfg, jax.random.key(cfg.ppo.seed),
                                       gst_params)
         ts, step = ckpt_util.restore_train_state(
-            os.path.join(args.model_dir, "checkpoints"), ts)
+            os.path.join(args.model_dir, "checkpoints"), ts,
+            step=args.ckpt_step)
         params = ts.params
 
     out_dir = os.path.join(args.model_dir or ".", "test")
     os.makedirs(out_dir, exist_ok=True)
+
+    if args.visualize:
+        from .utils import render
+        out_path = args.render_out or os.path.join(
+            out_dir, f"case_{args.test_case}.gif")
+        render.render_episode_live(
+            cfg, params, gst_params, case_idx=args.test_case,
+            base_seed=cfg.ppo.seed, robot_policy=args.robot_policy,
+            out_path=out_path)
+        print(f"wrote {out_path}")
+        return
+
     log_path = os.path.join(out_dir, f"test_{step:05d}.log")
     logging.basicConfig(level=logging.INFO, filename=log_path, filemode="w")
     logging.getLogger().addHandler(logging.StreamHandler())

@@ -27,10 +27,14 @@ def latest_step(ckpt_dir: str) -> int | None:
     return max(steps) if steps else None
 
 
-def restore_train_state(ckpt_dir: str, ts) -> Tuple[object, int]:
-    """Restore params/opt_state into ts; returns (ts, next_update_index)."""
+def restore_train_state(ckpt_dir: str, ts, step: int | None = None
+                        ) -> Tuple[object, int]:
+    """Restore params/opt_state into ts; returns (ts, next_update_index).
+    ``step`` selects a specific checkpoint (reference test.py --test_model);
+    default latest."""
     ckpt_dir = os.path.abspath(ckpt_dir)
-    step = latest_step(ckpt_dir)
+    if step is None:
+        step = latest_step(ckpt_dir)
     if step is None:
         raise FileNotFoundError(f"no checkpoints under {ckpt_dir}")
     path = os.path.join(ckpt_dir, f"{step:05d}")

@@ -85,9 +85,59 @@ def render_episode(traj: dict, out_path: str, cfg=None, fps: int = 8,
     return frames_dir or out_path
 
 
+def render_episode_live(cfg, params=None, gst_params=None, case_idx: int = 0,
+                        base_seed: int = 425, robot_policy: str = "network",
+                        out_path: Optional[str] = None, fps: int = 8):
+    """Step the episode and draw each frame as it happens (the reference
+    renders inside env.step, crowd_sim.py:750-873).
+
+    With a display (DISPLAY set and an interactive backend available) the
+    figure updates live via plt.pause; headless, frames stream to a GIF at
+    ``out_path`` while the episode is still running — either way rendering is
+    per-step, not post-hoc.
+    """
+    interactive = bool(os.environ.get("DISPLAY"))
+    if interactive:
+        try:
+            matplotlib.use("TkAgg", force=True)
+            plt.ion()
+        except Exception:
+            interactive = False
+
+    fig, ax = plt.subplots(figsize=(7, 7))
+    sensor_range = cfg.robot.sensor_range
+    arena = cfg.sim.arena_size
+    writer = None
+    if out_path:
+        from matplotlib.animation import PillowWriter
+        writer = PillowWriter(fps=fps)
+        writer.setup(fig, out_path, dpi=80)
+
+    def on_frame(t, frame):
+        render_frame(ax, frame["robot_pos"], frame["robot_goal"],
+                     float(np.ravel(frame["robot_radius"])[0]),
+                     frame["human_pos"], frame["human_radius"],
+                     frame["human_visible"], sensor_range,
+                     int(frame["human_num"]), frame.get("pred_pos"), arena)
+        ax.set_title(f"t = {t * cfg.env.time_step:.2f}s")
+        if writer is not None:
+            writer.grab_frame()
+        if interactive:
+            plt.pause(0.001)
+
+    traj = record_episode(cfg, params, gst_params, case_idx, base_seed,
+                          robot_policy, on_frame=on_frame)
+    if writer is not None:
+        writer.finish()
+    plt.close(fig)
+    return traj
+
+
 def record_episode(cfg, params=None, gst_params=None, case_idx: int = 0,
-                   base_seed: int = 425, robot_policy: str = "orca"):
-    """Roll one seeded episode and return a host-side trajectory dict."""
+                   base_seed: int = 425, robot_policy: str = "orca",
+                   on_frame=None):
+    """Roll one seeded episode and return a host-side trajectory dict.
+    ``on_frame(t, frame_dict)`` is invoked per step for live rendering."""
     import jax
     import jax.numpy as jnp
     from ..algo.evaluation import _reset_case
@@ -102,9 +152,21 @@ def record_episode(cfg, params=None, gst_params=None, case_idx: int = 0,
                                            jnp.float32(0.0))
     hxs = init_hidden(cfg, 1)
     masks = jnp.ones((1,))
-    step = jax.jit(lambda s, a: crowd_sim.step(cfg, s, a, "test", robot_policy))
+    use_pretext = (cfg.sim.predict_method == "inferred"
+                   and gst_params is not None)
+
+    def _step(s, a):
+        s, o, r, d, info = crowd_sim.step(cfg, s, a, "test", robot_policy)
+        if use_pretext:
+            # per-step GST prediction + reward rewrite, as in
+            # vector.vec_step (VecPretextNormalize.step_wait:69-75)
+            s, o, r, _ = pretext_process(cfg, gst_params, s, o, r)
+        return s, o, r, d, info
+
+    step = jax.jit(_step)
     traj = {k: [] for k in ("robot_pos", "robot_goal", "human_pos",
-                            "human_radius", "human_visible", "human_num")}
+                            "human_radius", "human_visible", "human_num",
+                            "pred_pos")}
     done = False
     t = 0
     while not done and t < cfg.max_episode_steps:
@@ -115,6 +177,18 @@ def record_episode(cfg, params=None, gst_params=None, case_idx: int = 0,
         traj["human_visible"].append(
             np.asarray(crowd_sim.robot_human_visibility(cfg, state)))
         traj["human_num"].append(int(state.human_num))
+        # predicted future positions ride in spatial_edges[:, 2:] for the
+        # pred/GST envs (robot-centric; crowd_sim_pred_real_gst.py:226-235)
+        se = np.asarray(obs.spatial_edges)
+        if se.shape[-1] > 2:
+            pred = se[:, 2:].reshape(se.shape[0], -1, 2) + \
+                traj["robot_pos"][-1]
+            traj["pred_pos"].append(pred)
+        else:
+            traj["pred_pos"].append(None)
+        if on_frame is not None:
+            on_frame(t, {k: traj[k][-1] for k in traj} |
+                     {"robot_radius": np.asarray(state.robot.radius)})
         if robot_policy == "network" and params is not None:
             obs_d = jax.tree.map(lambda x: x[None], obs_to_dict(obs))
             _, action, _, hxs = policy_mod.act(cfg, params, obs_d, hxs, masks,
