@@ -230,4 +230,9 @@ def train_iteration(cfg: Config, ts: TrainState, gst_params=None):
     metrics["done_returns"] = batch.done_returns
     metrics["done_returns_env"] = batch.done_returns_env
     metrics["reward_mean"] = jnp.mean(batch.rewards)
+    # fully-reduced scalars for multi-host logging (a host cannot np.asarray
+    # the dp-sharded done_returns; these replicate instead)
+    metrics["done_count"] = jnp.sum(~jnp.isnan(batch.done_returns))
+    metrics["done_sum"] = jnp.nansum(batch.done_returns)
+    metrics["done_sum_env"] = jnp.nansum(batch.done_returns_env)
     return ts, metrics

@@ -36,7 +36,10 @@ from .types import (EnvState, HumanState, Observation, RobotState, StepInfo,
                     OUTCOME_REACH_GOAL, OUTCOME_TIMEOUT)
 
 # Belief placeholder for out-of-view humans (crowd_sim.py:258).
-BELIEF_DUMMY = jnp.array([15.0, 15.0, 0.0, 0.0, 0.3])
+# numpy (not jnp) so importing this module never initializes the XLA backend
+# — jax.distributed.initialize must be able to run after import (launch.py).
+import numpy as _np
+BELIEF_DUMMY = _np.array([15.0, 15.0, 0.0, 0.0, 0.3], dtype=_np.float32)
 # Dummy neighbor an agent substitutes for peers outside its FOV (crowd_sim.py:132).
 NEIGHBOR_DUMMY_POS = 7.0
 

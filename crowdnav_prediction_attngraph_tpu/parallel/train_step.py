@@ -40,6 +40,7 @@ def shard_train_state(ts: ppo_mod.TrainState, mesh: Mesh) -> ppo_mod.TrainState:
         hxs=put_batch(ts.hxs),
         masks=put_batch(ts.masks),
         ep_return=put_batch(ts.ep_return),
+        ep_return_env=put_batch(ts.ep_return_env),
         key=jax.device_put(ts.key, NamedSharding(mesh, P())),
         total_steps=jax.device_put(ts.total_steps, NamedSharding(mesh, P())),
     )

@@ -102,8 +102,24 @@ def main(argv=None):
     p.add_argument("--eval-interval", type=int, default=0,
                    help="run a deterministic eval every N updates (0 = off)")
     p.add_argument("--eval-size", type=int, default=50)
+    p.add_argument("--multihost", action="store_true",
+                   help="jax.distributed multi-host training: same command "
+                        "on every host; env batch shards over the global "
+                        "dp mesh axis")
+    p.add_argument("--coordinator-address", default=None)
+    p.add_argument("--num-hosts", type=int, default=None)
+    p.add_argument("--process-id", type=int, default=None)
+    p.add_argument("--tp", type=int, default=1,
+                   help="tensor-parallel degree for the wide attention "
+                        "projections (multihost/mesh mode)")
     args = p.parse_args(argv)
     _apply_platform_env()
+    if args.multihost:
+        # must precede ANY backend-initializing jax call (jax.devices,
+        # device_put, jnp.asarray, ...)
+        from .parallel import launch
+        launch.initialize(args.coordinator_address, args.num_hosts,
+                          args.process_id)
 
     cfg = build_config(args)
     os.makedirs(args.output_dir, exist_ok=True)
@@ -113,13 +129,25 @@ def main(argv=None):
         json.dump(dataclasses.asdict(cfg), f, indent=2, default=str)
 
     gst_params = load_gst_params(cfg, args.gst_model_dir)
-    ts = ppo_mod.init_train_state(cfg, jax.random.key(cfg.ppo.seed),
-                                  gst_params)
+    is_main = True
+    if args.multihost:
+        from .parallel import launch
+        is_main = jax.process_index() == 0
+        mesh = launch.global_mesh(tp=args.tp)
+        if is_main:
+            print(f"multihost: {jax.process_count()} hosts, "
+                  f"{len(jax.devices())} devices, mesh {mesh.shape}")
+        ts = launch.init_sharded_global(cfg, jax.random.key(cfg.ppo.seed),
+                                        mesh, gst_params)
+        iteration = launch.make_global_iteration(cfg, mesh, gst_params)
+    else:
+        ts = ppo_mod.init_train_state(cfg, jax.random.key(cfg.ppo.seed),
+                                      gst_params)
+        iteration = jax.jit(
+            lambda ts: ppo_mod.train_iteration(cfg, ts, gst_params))
     start_update = 0
     if args.resume:
         ts, start_update = ckpt_util.restore_train_state(args.resume, ts)
-
-    iteration = jax.jit(lambda ts: ppo_mod.train_iteration(cfg, ts, gst_params))
 
     num_updates = int(cfg.ppo.num_env_steps) // cfg.ppo.num_steps \
         // cfg.ppo.num_processes
@@ -131,13 +159,23 @@ def main(argv=None):
     for j in range(start_update, num_updates):
         ts, metrics = iteration(ts)
 
-        done_rets = np.asarray(metrics["done_returns"])
-        episode_rewards.extend(done_rets[~np.isnan(done_rets)].tolist())
-        done_rets_env = np.asarray(metrics["done_returns_env"])
-        episode_rewards_env.extend(
-            done_rets_env[~np.isnan(done_rets_env)].tolist())
+        if args.multihost:
+            # dp-sharded done_returns are not host-addressable; use the
+            # replicated scalar reductions for the rolling means instead
+            c = float(metrics["done_count"])
+            if c > 0:
+                episode_rewards.append(float(metrics["done_sum"]) / c)
+                episode_rewards_env.append(
+                    float(metrics["done_sum_env"]) / c)
+        else:
+            done_rets = np.asarray(metrics["done_returns"])
+            episode_rewards.extend(done_rets[~np.isnan(done_rets)].tolist())
+            done_rets_env = np.asarray(metrics["done_returns_env"])
+            episode_rewards_env.extend(
+                done_rets_env[~np.isnan(done_rets_env)].tolist())
 
-        if args.eval_interval and j % args.eval_interval == 0 and j > 0:
+        if args.eval_interval and j % args.eval_interval == 0 and j > 0 \
+                and not args.multihost:
             from .algo import evaluation
             r = evaluation.evaluate(cfg, ts.params, gst_params,
                                     test_size=args.eval_size)
@@ -151,7 +189,8 @@ def main(argv=None):
             ckpt_util.save_train_state(
                 os.path.join(args.output_dir, "checkpoints"), ts, j)
 
-        if j % args.log_interval == 0 and len(episode_rewards) > 1:
+        if j % args.log_interval == 0 and len(episode_rewards) > 1 \
+                and is_main:
             total_num_steps = (j + 1) * cfg.ppo.num_processes * cfg.ppo.num_steps
             fps = int(total_num_steps / (time.time() - start))
             row = {
