@@ -38,16 +38,55 @@ def _reset_case(cfg: Config, base_seed: int, case_idx):
 
 def evaluate(cfg: Config, params, gst_params=None,
              test_size: Optional[int] = None, base_seed: Optional[int] = None,
-             deterministic: bool = True,
-             robot_policy: str = "network") -> Dict[str, float]:
+             deterministic: bool = True, robot_policy: str = "network",
+             batch_size: Optional[int] = None) -> Dict[str, float]:
+    """Run the seeded suite in fixed-size batches (one compile, reused per
+    chunk; a single 500-slot program is avoidable compile cost)."""
     test_size = test_size or cfg.env.test_size
     base_seed = cfg.ppo.seed if base_seed is None else base_seed
-    B = test_size
+    bs = min(batch_size or 100, test_size)
     dt = cfg.env.time_step
+
+    accs = []
+    for start in range(0, test_size, bs):
+        idx = np.arange(start, start + bs)  # pad past test_size, drop below
+        accs.append(_evaluate_chunk(cfg, params, gst_params, base_seed,
+                                    idx, deterministic, robot_policy))
+        print(f"[evaluate] cases {start}..{start + bs} done", flush=True)
+    (steps, outcome, path_len, danger_steps, min_dist_sum, ep_rew,
+     alive) = (np.concatenate([a[i] for a in accs])[:test_size]
+               for i in range(7))
+
+    success = outcome == OUTCOME_REACH_GOAL
+    collision = outcome == OUTCOME_COLLISION
+    timeout = (outcome == OUTCOME_TIMEOUT) | alive
+    nav_times = (steps - 1) * dt  # evaluation.py:74-75 semantics
+    results = {
+        "success_rate": float(np.mean(success)),
+        "collision_rate": float(np.mean(collision)),
+        "timeout_rate": float(np.mean(timeout)),
+        "nav_time": float(np.mean(nav_times[success]))
+        if success.any() else cfg.env.time_limit,
+        "path_length": float(np.mean(path_len)),
+        "intrusion_ratio": float(np.mean(danger_steps / np.maximum(steps, 1)
+                                         * 100.0)),
+        "min_intrusion_dist": float(min_dist_sum.sum()
+                                    / max(danger_steps.sum(), 1)),
+        "mean_episode_reward": float(np.mean(ep_rew)),
+        "collision_cases": np.nonzero(collision)[0].tolist(),
+        "timeout_cases": np.nonzero(timeout)[0].tolist(),
+    }
+    return results
+
+
+def _evaluate_chunk(cfg: Config, params, gst_params, base_seed: int,
+                    case_indices: np.ndarray, deterministic: bool,
+                    robot_policy: str):
+    B = len(case_indices)
     max_steps = cfg.max_episode_steps + 1
 
     states, obs = jax.vmap(lambda i: _reset_case(cfg, base_seed, i))(
-        jnp.arange(B))
+        jnp.asarray(case_indices))
     if cfg.sim.predict_method == "inferred":
         states, obs, _, _ = jax.vmap(
             lambda s, o: pretext_process(cfg, gst_params, s, o,
@@ -109,27 +148,8 @@ def evaluate(cfg: Config, params, gst_params=None,
     (states, obs_d, hxs, alive, acc) = scan(carry)
     (steps, outcome, path_len, last_pos, danger_steps, min_dist_sum,
      ep_rew) = map(np.asarray, acc)
-
-    success = outcome == OUTCOME_REACH_GOAL
-    collision = outcome == OUTCOME_COLLISION
-    timeout = (outcome == OUTCOME_TIMEOUT) | np.asarray(alive)
-    nav_times = (steps - 1) * dt  # evaluation.py:74-75 semantics
-    results = {
-        "success_rate": float(np.mean(success)),
-        "collision_rate": float(np.mean(collision)),
-        "timeout_rate": float(np.mean(timeout)),
-        "nav_time": float(np.mean(nav_times[success]))
-        if success.any() else cfg.env.time_limit,
-        "path_length": float(np.mean(path_len)),
-        "intrusion_ratio": float(np.mean(danger_steps / np.maximum(steps, 1)
-                                         * 100.0)),
-        "min_intrusion_dist": float(min_dist_sum.sum()
-                                    / max(danger_steps.sum(), 1)),
-        "mean_episode_reward": float(np.mean(ep_rew)),
-        "collision_cases": np.nonzero(collision)[0].tolist(),
-        "timeout_cases": np.nonzero(timeout)[0].tolist(),
-    }
-    return results
+    return (steps, outcome, path_len, danger_steps, min_dist_sum, ep_rew,
+            np.asarray(alive))
 
 
 def format_results(r: Dict) -> str:

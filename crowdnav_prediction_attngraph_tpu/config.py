@@ -195,9 +195,11 @@ class NetworkConfig:
     # self-attention stack (selfAttn_srnn_temp_node.py:29-30)
     num_attn_heads: int = 8
     attn_size: int = 512
-    # route the human-human attention through the Pallas packed kernel
-    # (ops/masked_attention.py) instead of the XLA einsum path
+    # route the human-human attention through the fused Pallas kernel
+    # (ops/masked_attention.py fused_graph_attention: QKV projection +
+    # masked MHA + out-projection in one VMEM pass) instead of XLA einsum
     use_pallas_attention: bool = False
+    pallas_dtype: str = "bfloat16"    # "float32" for strict parity
 
 
 @_frozen

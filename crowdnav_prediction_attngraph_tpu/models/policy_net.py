@@ -82,6 +82,7 @@ class SpatialEdgeSelfAttn(nn.Module):
     attn_size: int = 512
     num_heads: int = 8
     use_pallas: bool = False
+    pallas_dtype: str = "bfloat16"   # "float32" for strict parity
 
     @nn.compact
     def __call__(self, inp, attn_mask):
@@ -91,29 +92,55 @@ class SpatialEdgeSelfAttn(nn.Module):
 
         x = nn.relu(nn.Dense(128, name="embed_0")(inp))
         x = nn.relu(nn.Dense(D, name="embed_1")(x))
-        q = nn.Dense(D, name="q_linear")(x)
-        k = nn.Dense(D, name="k_linear")(x)
-        v = nn.Dense(D, name="v_linear")(x)
 
         # torch MultiheadAttention packed projections
         w_in = self.param("mha_in_proj_weight",
                           nn.initializers.xavier_uniform(), (D, 3 * D))
         b_in = self.param("mha_in_proj_bias", zeros, (3 * D,))
+
+        if self.use_pallas:
+            # ONE fused Pallas kernel: QKV projection + masked MHA + out
+            # projection, VMEM-resident. The reference's double projection
+            # (Dense then torch in_proj) folds into a single (D, 3D) matmul:
+            # x@Wq@Win_q + (bq@Win_q + bin_q). Param tree is identical to the
+            # XLA path — the Dense calls below only materialize the params
+            # (their outputs are unused and DCE'd).
+            from ..ops.masked_attention import fused_graph_attention
+            for name in ("q_linear", "k_linear", "v_linear", "mha_out_proj"):
+                nn.Dense(D, name=name)(x[:1, :1])
+            pv = self.variables["params"]
+            folded_w, folded_b = [], []
+            for i, name in enumerate(("q_linear", "k_linear", "v_linear")):
+                w, b = pv[name]["kernel"], pv[name]["bias"]
+                w_slice = w_in[:, i * D:(i + 1) * D]
+                b_slice = b_in[i * D:(i + 1) * D]
+                folded_w.append(w @ w_slice)
+                folded_b.append(b @ w_slice + b_slice)
+            w_qkv = jnp.concatenate(folded_w, axis=1)
+            b_qkv = jnp.concatenate(folded_b)
+            wo = pv["mha_out_proj"]["kernel"]
+            bo = pv["mha_out_proj"]["bias"]
+            dtype = jnp.float32 if self.pallas_dtype == "float32" \
+                else jnp.bfloat16
+            return fused_graph_attention(
+                x, attn_mask, w_qkv, b_qkv, wo, bo, nh,
+                compute_dtype=dtype,
+                interpret=jax.default_backend() == "cpu")
+
+        q = nn.Dense(D, name="q_linear")(x)
+        k = nn.Dense(D, name="k_linear")(x)
+        v = nn.Dense(D, name="v_linear")(x)
         q = q @ w_in[:, :D] + b_in[:D]
         k = k @ w_in[:, D:2 * D] + b_in[D:2 * D]
         v = v @ w_in[:, 2 * D:] + b_in[2 * D:]
 
-        if self.use_pallas:
-            from ..ops.masked_attention import packed_masked_attention
-            out = packed_masked_attention(q, k, v, attn_mask, nh)
-        else:
-            qh = q.reshape(rows, A, nh, hd)
-            kh = k.reshape(rows, A, nh, hd)
-            vh = v.reshape(rows, A, nh, hd)
-            logits = jnp.einsum("rqhd,rkhd->rhqk", qh, kh) / math.sqrt(hd)
-            logits = jnp.where(attn_mask[:, None, None, :], logits, -jnp.inf)
-            w = jax.nn.softmax(logits, axis=-1)
-            out = jnp.einsum("rhqk,rkhd->rqhd", w, vh).reshape(rows, A, D)
+        qh = q.reshape(rows, A, nh, hd)
+        kh = k.reshape(rows, A, nh, hd)
+        vh = v.reshape(rows, A, nh, hd)
+        logits = jnp.einsum("rqhd,rkhd->rhqk", qh, kh) / math.sqrt(hd)
+        logits = jnp.where(attn_mask[:, None, None, :], logits, -jnp.inf)
+        w = jax.nn.softmax(logits, axis=-1)
+        out = jnp.einsum("rhqk,rkhd->rqhd", w, vh).reshape(rows, A, D)
         out = nn.Dense(D, name="mha_out_proj")(out)
         return out
 
@@ -211,7 +238,8 @@ class SelfAttnMergeSRNN(nn.Module):
             spatial_attn_out = SpatialEdgeSelfAttn(
                 input_size=cfg.spatial_edge_dim, attn_size=net.attn_size,
                 num_heads=net.num_attn_heads,
-                use_pallas=net.use_pallas_attention, name="spatial_attn")(
+                use_pallas=net.use_pallas_attention,
+                pallas_dtype=net.pallas_dtype, name="spatial_attn")(
                     spatial_edges, attn_mask)
             output_spatial = nn.relu(
                 nn.Dense(256, name="spatial_linear", kernel_init=orth2,

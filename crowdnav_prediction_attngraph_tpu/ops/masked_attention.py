@@ -111,6 +111,114 @@ def packed_masked_attention(q, k, v, mask, num_heads: int,
     return out[:rows, :A]
 
 
+def _fused_kernel(x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref,
+                  *, a_pad: int, r_blk: int, hd: int, num_heads: int,
+                  scale: float, compute_dtype):
+    """x (r_blk, a_pad, D) -> QKV projection -> block-diagonal masked MHA ->
+    out projection, one VMEM-resident pass. Weights stay resident across grid
+    steps (constant index maps)."""
+    n = r_blk * a_pad
+    D = x_ref.shape[-1]
+    x = x_ref[:].reshape(n, D).astype(compute_dtype)
+    wqkv = wqkv_ref[:].astype(compute_dtype)
+    qkv = jnp.dot(x, wqkv, preferred_element_type=jnp.float32) \
+        + bqkv_ref[0]                                           # (n, 3D) f32
+    q = qkv[:, :D] * scale
+    k = qkv[:, D:2 * D]
+    v = qkv[:, 2 * D:]
+
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // a_pad
+    row_j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // a_pad
+    same_row = row_i == row_j
+    key_valid = mask_ref[0, 0:1, :]                             # (1, n)
+    ok = same_row & (key_valid > 0)
+
+    outs = []
+    for h in range(num_heads):
+        qh = q[:, h * hd:(h + 1) * hd].astype(compute_dtype)
+        kh = k[:, h * hd:(h + 1) * hd].astype(compute_dtype)
+        vh = v[:, h * hd:(h + 1) * hd].astype(compute_dtype)
+        s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
+        s = jnp.where(ok, s, NEG_INF)
+        s = s - jnp.max(s, axis=-1, keepdims=True)
+        p = jnp.exp(s)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
+        outs.append(jnp.dot(p.astype(compute_dtype), vh,
+                            preferred_element_type=jnp.float32))
+    attn = jnp.concatenate(outs, axis=-1).astype(compute_dtype)  # (n, D)
+    out = jnp.dot(attn, wo_ref[:].astype(compute_dtype),
+                  preferred_element_type=jnp.float32) + bo_ref[0]
+    o_ref[:] = out.reshape(r_blk, a_pad, D)
+
+
+def fused_graph_attention(x, mask, w_qkv, b_qkv, w_out, b_out,
+                          num_heads: int, r_blk: int = 16,
+                          compute_dtype=jnp.bfloat16,
+                          interpret: bool = False):
+    """End-to-end fused attention block: x @ W_qkv -> per-row masked MHA ->
+    out-projection, in ONE Pallas kernel (no HBM round-trips between sub-ops).
+
+    x: (rows, A, D) embedded inputs; mask: (rows, A) bool (True = valid key);
+    w_qkv: (D, 3D); b_qkv: (3D,); w_out: (D, D); b_out: (D,).
+    The q/k/v double projection of the reference module
+    (selfAttn_srnn_temp_node.py:63-91: Dense then torch-MHA in_proj) folds
+    into the single (D, 3D) matrix: W_eff = Wq @ Win_q etc. (two chained
+    linears), done host-side by the caller.
+
+    compute_dtype=bfloat16 runs the matmuls on the MXU at 2x f32 rate with
+    f32 accumulation; pass float32 for strict-parity runs.
+    """
+    rows, A, D = x.shape
+    hd = D // num_heads
+    scale = 1.0 / math.sqrt(hd)
+
+    a_pad = max(32, ((A + 31) // 32) * 32)
+    rows_pad = ((rows + r_blk - 1) // r_blk) * r_blk
+    n = r_blk * a_pad
+    num_blocks = rows_pad // r_blk
+
+    xp = jnp.pad(x, ((0, rows_pad - rows), (0, a_pad - A), (0, 0)))
+    mask_p = jnp.pad(mask.astype(jnp.int32),
+                     ((0, rows_pad - rows), (0, a_pad - A)))
+    mask_p = jnp.broadcast_to(mask_p.reshape(num_blocks, 1, n),
+                              (num_blocks, 8, n))
+
+    full = lambda shape: pl.BlockSpec(shape, lambda r: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    out = pl.pallas_call(
+        functools.partial(_fused_kernel, a_pad=a_pad, r_blk=r_blk, hd=hd,
+                          num_heads=num_heads, scale=scale,
+                          compute_dtype=compute_dtype),
+        out_shape=jax.ShapeDtypeStruct((rows_pad, a_pad, D), jnp.float32),
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((r_blk, a_pad, D), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, n), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full((D, 3 * D)),
+            full((1, 3 * D)),
+            full((D, D)),
+            full((1, D)),
+        ],
+        out_specs=pl.BlockSpec((r_blk, a_pad, D), lambda r: (r, 0, 0),
+                               memory_space=pltpu.VMEM),
+        interpret=interpret,
+    )(xp, mask_p, w_qkv, b_qkv.reshape(1, -1), w_out, b_out.reshape(1, -1))
+
+    return out[:rows, :A]
+
+
+def reference_fused_graph_attention(x, mask, w_qkv, b_qkv, w_out, b_out,
+                                    num_heads: int):
+    """XLA reference for fused_graph_attention (identical math, f32)."""
+    rows, A, D = x.shape
+    qkv = x @ w_qkv + b_qkv
+    q, k, v = qkv[..., :D], qkv[..., D:2 * D], qkv[..., 2 * D:]
+    out = reference_masked_attention(q, k, v, mask, num_heads)
+    return out @ w_out + b_out
+
+
 def reference_masked_attention(q, k, v, mask, num_heads: int):
     """einsum reference path (identical math, XLA-fused)."""
     rows, A, D = q.shape

@@ -18,6 +18,7 @@ import dataclasses
 import json
 import logging
 import os
+import sys
 
 import jax
 
@@ -101,12 +102,16 @@ def main(argv=None):
     if args.robot_policy == "network":
         if not args.model_dir:
             raise SystemExit("--model-dir required for network policy")
+        print("[test] building template train state (compiles env reset)...",
+              flush=True)
         ts = ppo_mod.init_train_state(cfg, jax.random.key(cfg.ppo.seed),
                                       gst_params)
         ts, step = ckpt_util.restore_train_state(
             os.path.join(args.model_dir, "checkpoints"), ts,
             step=args.ckpt_step)
         params = ts.params
+        step = step - 1  # restore returns the NEXT update index
+        print(f"[test] restored checkpoint {step}", flush=True)
 
     out_dir = os.path.join(args.model_dir or ".", "test")
     os.makedirs(out_dir, exist_ok=True)
@@ -123,8 +128,18 @@ def main(argv=None):
         return
 
     log_path = os.path.join(out_dir, f"test_{step:05d}.log")
-    logging.basicConfig(level=logging.INFO, filename=log_path, filemode="w")
-    logging.getLogger().addHandler(logging.StreamHandler())
+    # explicit handlers: jax/absl already attach root handlers at import, so
+    # logging.basicConfig would silently no-op and drop INFO records
+    root = logging.getLogger()
+    root.setLevel(logging.INFO)
+    fmt = logging.Formatter("%(asctime)s, %(levelname)s: %(message)s",
+                            "%Y-%m-%d %H:%M:%S")
+    fh = logging.FileHandler(log_path, mode="w")
+    fh.setFormatter(fmt)
+    sh = logging.StreamHandler(sys.stdout)
+    sh.setFormatter(fmt)
+    root.addHandler(fh)
+    root.addHandler(sh)
 
     results = evaluation.evaluate(
         cfg, params, gst_params, test_size=args.test_case_size,

@@ -193,9 +193,12 @@ def main(argv=None):
                 and is_main:
             total_num_steps = (j + 1) * cfg.ppo.num_processes * cfg.ppo.num_steps
             fps = int(total_num_steps / (time.time() - start))
+            lr_now = cfg.ppo.lr * (max(0.0, 1.0 - j / num_updates)
+                                   if cfg.ppo.use_linear_lr_decay else 1.0)
             row = {
                 "misc/nupdates": j,
                 "misc/total_timesteps": total_num_steps,
+                "misc/lr": lr_now,
                 "fps": fps,
                 "eprewmean": float(np.mean(episode_rewards)),
                 "eprewmean_env": float(np.mean(episode_rewards_env)),

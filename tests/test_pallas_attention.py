@@ -8,7 +8,8 @@ import jax
 import jax.numpy as jnp
 
 from crowdnav_prediction_attngraph_tpu.ops.masked_attention import (
-    packed_masked_attention, reference_masked_attention)
+    fused_graph_attention, packed_masked_attention,
+    reference_fused_graph_attention, reference_masked_attention)
 
 
 @pytest.mark.parametrize("rows,A", [(13, 20), (32, 6), (7, 32)])
@@ -23,6 +24,86 @@ def test_kernel_matches_reference(rows, A):
     ref = reference_masked_attention(q, k, v, mask, H)
     got = packed_masked_attention(q, k, v, mask, H, interpret=True)
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=2e-5)
+
+
+def _fused_inputs(rows, A, D=512, seed=0):
+    rng = np.random.RandomState(seed)
+    x = jnp.asarray(rng.randn(rows, A, D) * 0.3, jnp.float32)
+    w_qkv = jnp.asarray(rng.randn(D, 3 * D) / np.sqrt(D), jnp.float32)
+    b_qkv = jnp.asarray(rng.randn(3 * D) * 0.01, jnp.float32)
+    w_out = jnp.asarray(rng.randn(D, D) / np.sqrt(D), jnp.float32)
+    b_out = jnp.asarray(rng.randn(D) * 0.01, jnp.float32)
+    det = rng.randint(1, A + 1, rows)
+    mask = jnp.asarray(np.arange(A)[None, :] < det[:, None])
+    return x, mask, w_qkv, b_qkv, w_out, b_out
+
+
+@pytest.mark.parametrize("rows,A,r_blk", [(13, 20, 8), (33, 20, 16)])
+def test_fused_kernel_matches_reference_f32(rows, A, r_blk):
+    x, mask, w_qkv, b_qkv, w_out, b_out = _fused_inputs(rows, A)
+    ref = reference_fused_graph_attention(x, mask, w_qkv, b_qkv, w_out,
+                                          b_out, 8)
+    got = fused_graph_attention(x, mask, w_qkv, b_qkv, w_out, b_out, 8,
+                                r_blk=r_blk, compute_dtype=jnp.float32,
+                                interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4)
+
+
+def test_fused_kernel_bf16_close():
+    x, mask, w_qkv, b_qkv, w_out, b_out = _fused_inputs(16, 20, seed=3)
+    ref = reference_fused_graph_attention(x, mask, w_qkv, b_qkv, w_out,
+                                          b_out, 8)
+    got = fused_graph_attention(x, mask, w_qkv, b_qkv, w_out, b_out, 8,
+                                compute_dtype=jnp.bfloat16, interpret=True)
+    err = np.abs(np.asarray(got) - np.asarray(ref))
+    scale = np.abs(np.asarray(ref)).max()
+    assert err.max() / scale < 2e-2, err.max() / scale
+
+
+def test_fused_mask_isolation():
+    x, mask0, w_qkv, b_qkv, w_out, b_out = _fused_inputs(8, 8, seed=1)
+    mask = jnp.asarray(np.arange(8)[None, :] < 4).repeat(8, 0)
+    out0 = fused_graph_attention(x, mask, w_qkv, b_qkv, w_out, b_out, 8,
+                                 compute_dtype=jnp.float32, interpret=True)
+    x1 = x.at[:, 4:].set(1e4)  # perturb masked-out rows' inputs
+    out1 = fused_graph_attention(x1, mask, w_qkv, b_qkv, w_out, b_out, 8,
+                                 compute_dtype=jnp.float32, interpret=True)
+    # valid-query outputs must be unchanged
+    np.testing.assert_allclose(np.asarray(out0[:, :4]),
+                               np.asarray(out1[:, :4]), atol=1e-4)
+
+
+def test_policy_pallas_path_matches_einsum():
+    """Full policy forward: fused-Pallas attention (f32, interpret on CPU)
+    must match the XLA einsum path on the SAME params (identical tree)."""
+    import dataclasses
+    from crowdnav_prediction_attngraph_tpu.config import varnum_config
+    from crowdnav_prediction_attngraph_tpu.models.policy_net import (
+        SelfAttnMergeSRNN, init_hidden)
+
+    cfg0 = varnum_config(human_num=6)
+    cfg1 = cfg0.replace(network=dataclasses.replace(
+        cfg0.network, use_pallas_attention=True, pallas_dtype="float32"))
+
+    N, A, D = 5, cfg0.sim.max_human_num, cfg0.spatial_edge_dim
+    rng = np.random.RandomState(0)
+    obs = {
+        "robot_node": jnp.asarray(rng.randn(1, N, 7), jnp.float32),
+        "temporal_edges": jnp.asarray(rng.randn(1, N, 2), jnp.float32),
+        "spatial_edges": jnp.asarray(rng.randn(1, N, A, D), jnp.float32),
+        "visible_masks": jnp.ones((1, N, A), bool),
+        "detected_human_num": jnp.full((1, N), A, jnp.int32),
+    }
+    hxs = init_hidden(cfg0, N)
+    masks = jnp.ones((1, N))
+
+    m0 = SelfAttnMergeSRNN(cfg0)
+    m1 = SelfAttnMergeSRNN(cfg1)
+    params = m0.init(jax.random.key(0), obs, hxs, masks)
+    out0 = m0.apply(params, obs, hxs, masks)
+    out1 = m1.apply(params, obs, hxs, masks)   # same params, pallas path
+    for a, b in zip(jax.tree.leaves(out0), jax.tree.leaves(out1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=2e-4)
 
 
 def test_mask_isolation():
