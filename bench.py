@@ -1,4 +1,6 @@
-"""Headline benchmark: PPO env-steps/s on the flagship CrowdNav recipe.
+"""Headline benchmark: PPO env-steps/s on the flagship CrowdNav recipe,
+plus the north-star kernel metrics (edges/s in the interaction-graph
+attention encoder, and an MFU estimate for the fused train step).
 
 Runs the fully fused training iteration (simulator + GST predictor + policy
 rollout + GAE + 5x2-minibatch PPO update in ONE XLA program) on the available
@@ -6,7 +8,7 @@ accelerator and reports throughput against the reference's 204-206 env-steps/s
 (16 processes x 30 steps on the authors' GPU workstation,
 trained_models/GST_predictor_rand/progress.csv — see BASELINE.md).
 
-Prints one JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints one JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 """
 
 import json
@@ -22,10 +24,69 @@ jax.config.update("jax_compilation_cache_dir",
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 import jax.numpy as jnp
+import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 BASELINE_FPS = 205.0  # BASELINE.md: reference RL training throughput
+
+# peak dense-matmul throughput of the local accelerator for the MFU estimate
+_PEAKS = {
+    "TPU v5": 197e12,   # v5e bf16 FLOP/s per chip
+    "TPU v4": 275e12,
+    "TPU v6": 918e12,   # trillium bf16
+}
+
+
+def _peak_flops() -> float:
+    kind = jax.devices()[0].device_kind
+    for k, v in _PEAKS.items():
+        if kind.startswith(k):
+            return v
+    return 197e12  # assume v5e-class if unknown
+
+
+def _time(f, *args, iters=20):
+    out = f(*args)
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = f(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def bench_edges(rows: int, A: int = 20, D: int = 512, H: int = 8,
+                iters: int = 20):
+    """edges/s + MFU of the human-human attention encoder at flagship shapes
+    (rows = T*N of the PPO update path, A = max_human_num, D = attn width).
+    Counts one edge per (row, i, j) agent pair, the BASELINE.json metric."""
+    from crowdnav_prediction_attngraph_tpu.ops.masked_attention import (
+        packed_masked_attention, reference_masked_attention)
+    rng = np.random.RandomState(0)
+    mk = lambda: jnp.asarray(rng.randn(rows, A, D), jnp.float32)
+    q, k, v = mk(), mk(), mk()
+    det = rng.randint(1, A + 1, rows)
+    mask = jnp.asarray(np.arange(A)[None, :] < det[:, None])
+    edges = rows * A * A
+    # attention-stack FLOPs: logits + weighted value (QKV/out projections are
+    # not part of this microbench's inputs)
+    attn_flops = 2 * 2 * rows * A * A * D
+    out = {}
+    f_ref = jax.jit(lambda *a: reference_masked_attention(*a, H))
+    dt = _time(f_ref, q, k, v, mask, iters=iters)
+    out["edges_per_s_einsum"] = edges / dt
+    out["attn_mfu_einsum"] = attn_flops / dt / _peak_flops()
+    try:
+        f_pal = jax.jit(lambda *a: packed_masked_attention(*a, H))
+        dt_p = _time(f_pal, q, k, v, mask, iters=iters)
+        out["edges_per_s_pallas"] = edges / dt_p
+        out["attn_mfu_pallas"] = attn_flops / dt_p / _peak_flops()
+    except Exception as e:
+        out["pallas_error"] = str(e)[:120]
+    out["edges_per_s"] = max(out["edges_per_s_einsum"],
+                             out.get("edges_per_s_pallas", 0.0))
+    return out
 
 
 def main():
@@ -59,19 +120,45 @@ def main():
     ts, m = it(ts)
     jax.block_until_ready(m["value_loss"])
 
-    iters = int(os.environ.get("BENCH_ITERS", "5"))
-    t0 = time.perf_counter()
+    iters = int(os.environ.get("BENCH_ITERS", "20"))
+    times = []
     for _ in range(iters):
+        t0 = time.perf_counter()
         ts, m = it(ts)
-    jax.block_until_ready(m["value_loss"])
-    dt = time.perf_counter() - t0
+        jax.block_until_ready(m["value_loss"])
+        times.append(time.perf_counter() - t0)
+    dt_mean = float(np.mean(times))
+    dt_std = float(np.std(times))
 
-    steps_per_s = iters * num_envs * num_steps / dt
+    steps_per_s = num_envs * num_steps / dt_mean
+
+    # end-to-end MFU of the fused train iteration from the XLA cost model
+    extra = {
+        "iters": iters,
+        "num_envs": num_envs,
+        "iter_ms_mean": round(dt_mean * 1e3, 2),
+        "iter_ms_std": round(dt_std * 1e3, 2),
+    }
+    try:
+        cost = it.lower(ts).compile().cost_analysis()
+        if cost and "flops" in cost:
+            extra["train_step_mfu"] = round(
+                float(cost["flops"]) / dt_mean / _peak_flops(), 5)
+    except Exception:
+        pass
+
+    # north-star kernel metric at the flagship update-path shape
+    # (rows = num_steps * 64 envs of the reference-recipe minibatch)
+    edges = bench_edges(rows=1920, A=cfg.sim.max_human_num)
+    for k, v in edges.items():
+        extra[k] = round(v, 5) if isinstance(v, float) else v
+
     print(json.dumps({
         "metric": "ppo_env_steps_per_s",
         "value": round(steps_per_s, 2),
         "unit": "env-steps/s",
         "vs_baseline": round(steps_per_s / BASELINE_FPS, 3),
+        "extra": extra,
     }))
 
 

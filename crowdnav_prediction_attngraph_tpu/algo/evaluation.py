@@ -27,22 +27,28 @@ from ..env.types import (OUTCOME_COLLISION, OUTCOME_DANGER, OUTCOME_REACH_GOAL,
 from ..models import policy as policy_mod
 from ..models.policy_net import init_hidden, obs_to_dict
 
-TEST_CASE_OFFSET = 1000  # crowd_sim.py:386-389: test seeds start at 1000
+# crowd_sim.py:382-389: val seeds start at 0, test at 1000, train at 2000
+PHASE_OFFSET = {"val": 0, "test": 1000, "train": 2000}
+TEST_CASE_OFFSET = PHASE_OFFSET["test"]
 
 
-def _reset_case(cfg: Config, base_seed: int, case_idx):
+def _reset_case(cfg: Config, base_seed: int, case_idx, phase: str = "test"):
     key = jax.random.fold_in(jax.random.key(base_seed),
-                             TEST_CASE_OFFSET + case_idx)
+                             PHASE_OFFSET[phase] + case_idx)
     return crowd_sim.reset(cfg, key)
 
 
 def evaluate(cfg: Config, params, gst_params=None,
              test_size: Optional[int] = None, base_seed: Optional[int] = None,
              deterministic: bool = True, robot_policy: str = "network",
-             batch_size: Optional[int] = None) -> Dict[str, float]:
+             batch_size: Optional[int] = None,
+             phase: str = "test") -> Dict[str, float]:
     """Run the seeded suite in fixed-size batches (one compile, reused per
-    chunk; a single 500-slot program is avoidable compile cost)."""
-    test_size = test_size or cfg.env.test_size
+    chunk; a single 500-slot program is avoidable compile cost). ``phase``
+    selects the seed range: val [0,1000), test [1000,2000)
+    (crowd_sim.py:382-389; env.val_size/test_size)."""
+    test_size = test_size or (cfg.env.val_size if phase == "val"
+                              else cfg.env.test_size)
     base_seed = cfg.ppo.seed if base_seed is None else base_seed
     bs = min(batch_size or 100, test_size)
     dt = cfg.env.time_step
@@ -51,7 +57,7 @@ def evaluate(cfg: Config, params, gst_params=None,
     for start in range(0, test_size, bs):
         idx = np.arange(start, start + bs)  # pad past test_size, drop below
         accs.append(_evaluate_chunk(cfg, params, gst_params, base_seed,
-                                    idx, deterministic, robot_policy))
+                                    idx, deterministic, robot_policy, phase))
         print(f"[evaluate] cases {start}..{start + bs} done", flush=True)
     (steps, outcome, path_len, danger_steps, min_dist_sum, ep_rew,
      alive) = (np.concatenate([a[i] for a in accs])[:test_size]
@@ -81,11 +87,11 @@ def evaluate(cfg: Config, params, gst_params=None,
 
 def _evaluate_chunk(cfg: Config, params, gst_params, base_seed: int,
                     case_indices: np.ndarray, deterministic: bool,
-                    robot_policy: str):
+                    robot_policy: str, phase: str = "test"):
     B = len(case_indices)
     max_steps = cfg.max_episode_steps + 1
 
-    states, obs = jax.vmap(lambda i: _reset_case(cfg, base_seed, i))(
+    states, obs = jax.vmap(lambda i: _reset_case(cfg, base_seed, i, phase))(
         jnp.asarray(case_indices))
     if cfg.sim.predict_method == "inferred":
         states, obs, _, _ = jax.vmap(

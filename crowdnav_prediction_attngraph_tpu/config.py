@@ -115,6 +115,14 @@ class OrcaConfig:
     time_horizon_obst: float = 5.0    # config.py:120
     # ego agents assume all neighbors cap speed at this (orca.py:59)
     max_neighbor_speed: float = 1.0
+    # Reference-artifact emulation (diagnostic): the reference ORCA policy
+    # reuses its RVO2 sim across episodes (orca.py:80-82 only rebuilds when the
+    # agent count changes), so with randomized attributes the robot plans every
+    # episode with episode-1's STALE neighbor radii. True = draw fixed
+    # U(0.3, 0.5) radii (keyed per slot, constant across the suite) instead of
+    # the current beliefs, to quantify how much of the reference's higher
+    # collision rate that staleness explains.
+    stale_neighbor_radii: bool = False
 
 
 @_frozen
@@ -200,6 +208,12 @@ class NetworkConfig:
     # masked MHA + out-projection in one VMEM pass) instead of XLA einsum
     use_pallas_attention: bool = False
     pallas_dtype: str = "bfloat16"    # "float32" for strict parity
+    # shard the human-human attention's agent axis over the mesh 'tp' axis
+    # (parallel/edge_partition.py ring attention + ppermute halo exchange);
+    # requires the train step to run under jax.set_mesh(mesh). New capability
+    # vs the reference (SURVEY.md section 2.5 checklist).
+    use_ring_attention: bool = False
+    ring_axis: str = "tp"
 
 
 @_frozen

@@ -606,6 +606,11 @@ def scripted_robot_action(cfg: Config, state: EnvState, policy: str):
         if cfg.sim.predict_method == "none":
             nbr_pos, nbr_vel = beliefs[:, :2], beliefs[:, 2:4]
             nbr_radius = beliefs[:, 4] + inflate
+            if cfg.orca.stale_neighbor_radii:
+                # reference-artifact emulation (see OrcaConfig): persistent
+                # RVO2 sim keeps episode-1 radii for the whole suite
+                nbr_radius = jax.random.uniform(
+                    jax.random.key(0), (A,), minval=0.3, maxval=0.5) + inflate
             nbr_mask = active
         else:
             # each predicted future position becomes an extra neighbor

@@ -83,6 +83,8 @@ class SpatialEdgeSelfAttn(nn.Module):
     num_heads: int = 8
     use_pallas: bool = False
     pallas_dtype: str = "bfloat16"   # "float32" for strict parity
+    use_ring: bool = False           # edge-partitioned ring attention
+    ring_axis: str = "tp"
 
     @nn.compact
     def __call__(self, inp, attn_mask):
@@ -133,6 +135,21 @@ class SpatialEdgeSelfAttn(nn.Module):
         q = q @ w_in[:, :D] + b_in[:D]
         k = k @ w_in[:, D:2 * D] + b_in[D:2 * D]
         v = v @ w_in[:, 2 * D:] + b_in[2 * D:]
+
+        if self.use_ring:
+            # agent axis edge-partitioned over the mesh ring (ppermute halo
+            # exchange + online softmax); resolves the ambient mesh set by
+            # jax.set_mesh in the sharded train step. Falls back to the dense
+            # einsum when no mesh (or a trivial ring axis) is active, so the
+            # same config runs single-device.
+            am = jax.sharding.get_abstract_mesh()
+            if (am is not None and self.ring_axis in am.axis_names
+                    and am.shape[self.ring_axis] > 1
+                    and A % am.shape[self.ring_axis] == 0):
+                from ..parallel.edge_partition import edge_partitioned_attention
+                out = edge_partitioned_attention(q, k, v, attn_mask, nh,
+                                                 axis=self.ring_axis)
+                return nn.Dense(D, name="mha_out_proj")(out)
 
         qh = q.reshape(rows, A, nh, hd)
         kh = k.reshape(rows, A, nh, hd)
@@ -239,7 +256,9 @@ class SelfAttnMergeSRNN(nn.Module):
                 input_size=cfg.spatial_edge_dim, attn_size=net.attn_size,
                 num_heads=net.num_attn_heads,
                 use_pallas=net.use_pallas_attention,
-                pallas_dtype=net.pallas_dtype, name="spatial_attn")(
+                pallas_dtype=net.pallas_dtype,
+                use_ring=net.use_ring_attention,
+                ring_axis=net.ring_axis, name="spatial_attn")(
                     spatial_edges, attn_mask)
             output_spatial = nn.relu(
                 nn.Dense(256, name="spatial_linear", kernel_init=orth2,

@@ -72,12 +72,25 @@ def _ring_attention_local(q, k, v, mask, axis_name: str, scale: float):
     return o / jnp.maximum(denom, 1e-30)
 
 
-def edge_partitioned_attention(q, k, v, mask, num_heads: int, mesh: Mesh,
+def edge_partitioned_attention(q, k, v, mask, num_heads: int,
+                               mesh: Optional[Mesh] = None,
                                axis: str = "tp"):
     """Masked MHA with the agent axis sharded over ``axis`` of ``mesh``.
 
     q/k/v: (rows, A, D); mask: (rows, A). A must divide evenly by the axis
-    size. Matches reference_masked_attention numerically."""
+    size. Matches reference_masked_attention numerically.
+
+    ``mesh=None`` resolves the ambient abstract mesh (callers run the train
+    step under ``jax.set_mesh(mesh)``), letting the policy network route its
+    human-human attention through the ring without threading a Mesh object
+    through the module tree. The row axis is sharded over every other
+    non-trivial mesh axis (dp), so the training batch stays distributed."""
+    if mesh is None:
+        mesh = jax.sharding.get_abstract_mesh()
+        if mesh is None or axis not in mesh.axis_names:
+            raise ValueError(
+                "edge_partitioned_attention: no ambient mesh with axis "
+                f"'{axis}' (run under jax.set_mesh)")
     rows, A, D = q.shape
     hd = D // num_heads
     scale = 1.0 / math.sqrt(hd)
@@ -88,11 +101,15 @@ def edge_partitioned_attention(q, k, v, mask, num_heads: int, mesh: Mesh,
     kh = k.reshape(rows, A, num_heads, hd)
     vh = v.reshape(rows, A, num_heads, hd)
 
-    spec = P(None, axis, None, None)
+    row_axes = tuple(n for n in mesh.axis_names
+                     if n != axis and mesh.shape[n] > 1
+                     and rows % mesh.shape[n] == 0)
+    row_spec = row_axes if row_axes else None
+    spec = P(row_spec, axis, None, None)
     out = jax.shard_map(
         functools.partial(_ring_attention_local, axis_name=axis, scale=scale),
         mesh=mesh,
-        in_specs=(spec, spec, spec, P(None, axis)),
+        in_specs=(spec, spec, spec, P(row_spec, axis)),
         out_specs=spec,
     )(qh, kh, vh, mask)
     return out.reshape(rows, A, D)

@@ -94,7 +94,13 @@ def make_global_iteration(cfg: Config, mesh: Mesh, gst_params=None):
         gst_params = jax.jit(lambda: gst_params, out_shardings=rep)()
     shardings = train_state_shardings(cfg, mesh, gst_params)
 
-    def it(ts):
-        return ppo_mod.train_iteration(cfg, ts, gst_params)
+    it = jax.jit(lambda ts: ppo_mod.train_iteration(cfg, ts, gst_params),
+                 out_shardings=(shardings, None), donate_argnums=0)
 
-    return jax.jit(it, out_shardings=(shardings, None), donate_argnums=0)
+    def run(ts):
+        # ambient mesh lets cfg.network.use_ring_attention shard the agent
+        # axis (parallel/edge_partition.py) inside the same program
+        with jax.set_mesh(mesh):
+            return it(ts)
+
+    return run

@@ -47,7 +47,11 @@ def shard_train_state(ts: ppo_mod.TrainState, mesh: Mesh) -> ppo_mod.TrainState:
 
 
 def make_sharded_iteration(cfg: Config, mesh: Mesh, gst_params=None):
-    """Jitted full train step over the mesh. gst_params are replicated."""
+    """Jitted full train step over the mesh. gst_params are replicated.
+
+    Runs under ``jax.set_mesh(mesh)`` so the policy network can resolve the
+    ambient mesh (cfg.network.use_ring_attention routes the human-human
+    attention through the edge-partitioned ring over the 'tp' axis)."""
     if gst_params is not None:
         gst_params = mesh_mod.replicate(gst_params, mesh)
 
@@ -55,7 +59,11 @@ def make_sharded_iteration(cfg: Config, mesh: Mesh, gst_params=None):
     def it(ts):
         return ppo_mod.train_iteration(cfg, ts, gst_params)
 
-    return it
+    def run(ts):
+        with jax.set_mesh(mesh):
+            return it(ts)
+
+    return run
 
 
 def init_sharded(cfg: Config, key, mesh: Mesh, gst_params=None):

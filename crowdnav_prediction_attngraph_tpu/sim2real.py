@@ -93,6 +93,89 @@ class RosDetectionSource(DetectionSource):  # pragma: no cover - hardware
         self.pub.publish(msg)
 
 
+def record_sim_episode(cfg: Config, case_idx: int = 0,
+                       robot_policy: str = "orca", params=None,
+                       gst_params=None, out_dir: Optional[str] = None,
+                       phase: str = "test", max_steps: Optional[int] = None):
+    """Run ONE simulator episode and record the robot's actions/positions/
+    orientations (reference record path: crowd_sim_pred.py:144-152 appends to
+    episodeRecoder each step and saveEpisode on done).
+
+    Returns (recorder, steps). With ``out_dir`` the CSVs are written like
+    recorder.py:36-50 (``<case>_actions.csv`` etc.).
+    """
+    import jax
+    import jax.numpy as jnp
+    from .algo.evaluation import PHASE_OFFSET
+    from .env import crowd_sim
+    from .models import policy as policy_mod
+    from .models.policy_net import init_hidden, obs_to_dict
+    from .utils.recorder import Recorder
+
+    key = jax.random.fold_in(jax.random.key(cfg.ppo.seed),
+                             PHASE_OFFSET[phase] + case_idx)
+    state, obs = jax.jit(lambda k: crowd_sim.reset(cfg, k))(key)
+    step_fn = jax.jit(lambda s, a: crowd_sim.step(cfg, s, a, phase,
+                                                  robot_policy))
+    rec = Recorder()
+    hxs = init_hidden(cfg, 1)
+    masks = jnp.ones((1,))
+    steps = 0
+    for _ in range(max_steps or cfg.max_episode_steps):
+        if robot_policy == "network":
+            obs_d = jax.tree.map(lambda x: x[None], obs_to_dict(obs))
+            _, action, _, hxs = policy_mod.act(
+                cfg, params, obs_d, hxs, masks, jax.random.key(0),
+                deterministic=True)
+            action = action[0]
+        else:
+            action = jnp.zeros((2,))
+        state, obs, rew, done, info = step_fn(state, action)
+        # the executed velocity lives in robot.vel after the step; record the
+        # RAW action so replay goes through the same clipping path
+        v = np.asarray(state.robot.vel)
+        if robot_policy == "network":
+            rec.add_step(np.asarray(action), np.asarray(state.robot.pos),
+                         float(np.arctan2(v[1], v[0])))
+        else:
+            rec.add_step(v, np.asarray(state.robot.pos),
+                         float(np.arctan2(v[1], v[0])))
+        steps += 1
+        if bool(done):
+            break
+    rec.robot_goal.append(list(np.asarray(state.robot.goal)))
+    if out_dir:
+        rec.save_episode(out_dir, case_idx)
+    return rec, steps
+
+
+def replay_actions(cfg: Config, actions: np.ndarray, case_idx: int = 0,
+                   phase: str = "test") -> np.ndarray:
+    """Replay a recorded (T, 2) action array through the simulator
+    (reference crowd_sim.py:169-173 + recorder.py:52-56 loadActions: the env
+    consumes pre-recorded actions instead of the policy, for dynamics /
+    system identification). Returns the (T, 2) robot positions, which must
+    be bit-exact vs the recording (the env is a deterministic pure function
+    of (state, action); the RNG chain is carried in the state)."""
+    import jax
+    import jax.numpy as jnp
+    from .algo.evaluation import PHASE_OFFSET
+    from .env import crowd_sim
+
+    key = jax.random.fold_in(jax.random.key(cfg.ppo.seed),
+                             PHASE_OFFSET[phase] + case_idx)
+    state, _ = jax.jit(lambda k: crowd_sim.reset(cfg, k))(key)
+    step_fn = jax.jit(lambda s, a: crowd_sim.step(cfg, s, a, phase,
+                                                  "network"))
+    pos = []
+    for a in np.asarray(actions, np.float32):
+        state, _, _, done, _ = step_fn(state, jnp.asarray(a))
+        pos.append(np.asarray(state.robot.pos))
+        if bool(done):
+            break
+    return np.asarray(pos)
+
+
 class Sim2RealEnv:
     """Observation/action adapter between real sensors and the trained policy."""
 

@@ -74,6 +74,14 @@ def main(argv=None):
     p.add_argument("--test-case-size", type=int, default=None)
     p.add_argument("--robot-policy", default="network",
                    choices=["network", "orca", "social_force"])
+    p.add_argument("--no-randomize-attributes", dest="randomize_attributes",
+                   action="store_false", default=True,
+                   help="fixed v_pref/radius humans (reference *_no_rand "
+                        "baseline configs set env.randomize_attributes=False)")
+    p.add_argument("--orca-stale-radii", action="store_true",
+                   help="diagnostic: emulate the reference ORCA policy's "
+                        "persistent-RVO2-sim stale neighbor radii "
+                        "(orca.py:80-82); see OrcaConfig.stale_neighbor_radii")
     p.add_argument("--gst-model-dir", default=None)
     p.add_argument("--ckpt-step", type=int, default=None,
                    help="checkpoint update index to test (reference test.py "
@@ -90,10 +98,18 @@ def main(argv=None):
     args = p.parse_args(argv)
     _apply_platform_env()
 
-    if args.model_dir:
-        cfg = config_from_snapshot(os.path.join(args.model_dir, "config.json"))
+    snapshot = args.model_dir and os.path.join(args.model_dir, "config.json")
+    if snapshot and os.path.exists(snapshot):
+        cfg = config_from_snapshot(snapshot)
+    elif args.robot_policy == "network":
+        raise SystemExit(f"no config snapshot at {snapshot or '--model-dir'}"
+                         " (required for network policy)")
     else:
+        # scripted baselines: --model-dir is just the log location
         cfg = build_config(args)
+    if getattr(args, "orca_stale_radii", False):
+        cfg = cfg.replace(orca=dataclasses.replace(
+            cfg.orca, stale_neighbor_radii=True))
 
     gst_params = load_gst_params(cfg, args.gst_model_dir)
 

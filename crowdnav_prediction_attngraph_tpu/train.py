@@ -60,7 +60,13 @@ def build_config(args) -> Config:
         ppo_epoch=getattr(args, "ppo_epoch", 5),
         entropy_coef=getattr(args, "entropy_coef", 0.0),
         use_linear_lr_decay=getattr(args, "use_linear_lr_decay", False))
-    return cfg.replace(ppo=ppo)
+    cfg = cfg.replace(ppo=ppo)
+    if not getattr(args, "randomize_attributes", True):
+        # reference ORCA_no_rand/SF_no_rand configs set
+        # env.randomize_attributes = False (their configs/config.py:22)
+        cfg = cfg.replace(env=dataclasses.replace(
+            cfg.env, randomize_attributes=False))
+    return cfg
 
 
 def load_gst_params(cfg: Config, model_dir: str | None):
@@ -151,6 +157,7 @@ def main(argv=None):
 
     num_updates = int(cfg.ppo.num_env_steps) // cfg.ppo.num_steps \
         // cfg.ppo.num_processes
+    best_success = -1.0
     episode_rewards = collections.deque(maxlen=100)
     episode_rewards_env = collections.deque(maxlen=100)  # reference Monitor metric
     start = time.time()
@@ -178,12 +185,27 @@ def main(argv=None):
                 and not args.multihost:
             from .algo import evaluation
             r = evaluation.evaluate(cfg, ts.params, gst_params,
-                                    test_size=args.eval_size)
+                                    test_size=args.eval_size, phase="val")
             print(f"[eval @ update {j}] " + evaluation.format_results(r))
             with open(os.path.join(args.output_dir, "eval_history.csv"),
                       "a") as f:
                 f.write(f"{j},{r['success_rate']},{r['collision_rate']},"
-                        f"{r['timeout_rate']},{r['nav_time']}\n")
+                        f"{r['timeout_rate']},{r['nav_time']},"
+                        f"{r['path_length']},{r['intrusion_ratio']},"
+                        f"{r['min_intrusion_dist']}\n")
+            # checkpoint every eval point so the best-eval policy is always
+            # recoverable (round-1 lesson: a late-training collapse can lose
+            # an earlier 0.9-success policy; reference only keeps periodic
+            # snapshots, train.py:213-219)
+            ckpt_util.save_train_state(
+                os.path.join(args.output_dir, "checkpoints"), ts, j)
+            if r["success_rate"] >= best_success:
+                best_success = r["success_rate"]
+                with open(os.path.join(args.output_dir, "best.json"),
+                          "w") as f:
+                    json.dump({"update": j, **{k: v for k, v in r.items()
+                                               if not k.endswith("_cases")}},
+                              f, indent=2)
 
         if j % args.save_interval == 0 or j == num_updates - 1:
             ckpt_util.save_train_state(
