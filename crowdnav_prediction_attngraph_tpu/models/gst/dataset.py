@@ -103,3 +103,200 @@ def batches(windows: List[dict], batch_size: int, rng: np.random.RandomState,
     for s in range(0, len(idx) - batch_size + 1, batch_size):
         sel = idx[s:s + batch_size]
         yield {k: np.stack([windows[i][k] for i in sel]) for k in windows[0]}
+
+
+# ---------------------------------------------------------------------------
+# Benchmark-dataset loaders (reference gst_updated/src/mgnn/trajectories.py
+# TrajectoriesDataset + run/create_batch_datasets_eth_ucy.sh conventions).
+# Reference-exact windowing semantics; output is our padded fixed-shape
+# window dict (the reference materializes variable-ped graphs at batch_size 1
+# -- padding to a dataset-wide ped count is the TPU-first replacement).
+# ---------------------------------------------------------------------------
+
+def read_file(path: str, delim: str = "\t") -> np.ndarray:
+    """Whitespace-tolerant benchmark reader (trajectories.py:160-174
+    ``read_file``; 'tab'/'space' names accepted)."""
+    if delim == "tab":
+        delim = "\t"
+    elif delim == "space":
+        delim = " "
+    rows = []
+    with open(path) as f:
+        for line in f:
+            parts = line.strip().split(delim) if delim.strip() else \
+                line.split()
+            if not parts or parts == [""]:
+                continue
+            rows.append([float(x) for x in parts])
+    return np.asarray(rows, np.float64)
+
+
+def reference_windows(records: np.ndarray, obs_len: int = 8,
+                      pred_len: int = 12, skip: int = 1,
+                      frame_diff: float = 10.0, mode: str | None = None,
+                      max_peds: int | None = None) -> List[dict]:
+    """Windows with the reference's exact selection rules
+    (trajectories.py:27-145):
+
+    - candidate start indices stride by ``skip``; ``mode`` splits the index
+      range 80/20 into train vs val/test (trajectories.py:45-53)
+    - a window is kept iff >= 1 pedestrian is present in ALL seq_len frames
+      at exact ``frame_diff`` spacing (trajectories.py:59-68)
+    - ALL pedestrians appearing anywhere in the window occupy slots
+      (trajectories.py:70-94); first-frame displacement is 0 with rel mask 1
+    - pairwise edges A[t, i, j] = pos_i - pos_j; the reference leaves absent
+      slots at the -999 fill value and relies on attn_mask downstream
+      (utils.py:59-67 seq_to_graph 'rel_conv'); here they are zeroed by the
+      presence outer product, which the masked model renders equivalent
+
+    When ``max_peds`` is None the windows are padded to the max pedestrian
+    count over the returned windows (rounded up to a multiple of 8 for TPU
+    lane alignment); windows exceeding an explicit ``max_peds`` are skipped.
+    """
+    seq_len = obs_len + pred_len
+    frames = np.unique(records[:, 0]).tolist()
+    frame_data = {f: records[records[:, 0] == f] for f in frames}
+    num_sequences = int(np.floor((len(frames) - seq_len) / skip)) + 1
+    if mode is None:
+        idx_range = range(0, num_sequences * skip + 1, skip)
+    elif mode == "train":
+        idx_range = range(0, int((num_sequences * skip + 1) * 0.8), skip)
+    elif mode in ("val", "test"):
+        idx_range = range(int((num_sequences * skip + 1) * 0.8),
+                          num_sequences * skip + 1, skip)
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    raw = []
+    for idx in idx_range:
+        if idx + seq_len > len(frames):
+            continue
+        fr = frames[idx:idx + seq_len]
+        rows = [frame_data[f] for f in fr]
+        cat = np.concatenate(rows, axis=0)
+        start_frame = cat[0, 0]
+        ped_ids = np.unique(cat[:, 1])
+        # survive-all-frames gate (trajectories.py:59-68)
+        survive = False
+        for p in ped_ids:
+            pf = np.unique(cat[cat[:, 1] == p, 0])
+            if len(pf) == seq_len and np.all(np.diff(pf) == frame_diff):
+                survive = True
+                break
+        if not survive:
+            continue
+        P0 = len(ped_ids)
+        pos = np.zeros((seq_len, P0, 2), np.float32)
+        present = np.zeros((seq_len, P0), np.float32)
+        for t in range(seq_len):
+            fid = start_frame + t * frame_diff
+            sel = cat[cat[:, 0] == fid]
+            for j, p in enumerate(ped_ids):
+                hit = sel[sel[:, 1] == p]
+                if len(hit) > 1:
+                    raise RuntimeError(
+                        "same pedestrian twice in one frame")
+                if len(hit) == 1:
+                    pos[t, j] = hit[0, 2:4]
+                    present[t, j] = 1.0
+        raw.append((pos, present))
+
+    if not raw:
+        return []
+    if max_peds is None:
+        widest = max(p.shape[1] for p, _ in raw)
+        max_peds = int(np.ceil(widest / 8) * 8)
+    windows = []
+    for pos, present in raw:
+        P0 = pos.shape[1]
+        if P0 > max_peds:
+            continue
+        pos_p = np.zeros((seq_len, max_peds, 2), np.float32)
+        pres_p = np.zeros((seq_len, max_peds), np.float32)
+        pos_p[:, :P0] = pos
+        pres_p[:, :P0] = present
+        windows.append(_window_arrays(pos_p, pres_p, obs_len, pred_len))
+    return windows
+
+
+# name -> (subdir under data root, delim, frame_diff); eth/ucy per the
+# reference's datasets/eth_ucy layout, 'sj' per utils.py:109-110 (the
+# self-collected CrowdNav sim data the shipped checkpoints train on)
+BENCHMARKS = {
+    "eth": ("eth_ucy/eth", "\t", 10.0),
+    "hotel": ("eth_ucy/hotel", "\t", 10.0),
+    "univ": ("eth_ucy/univ", "\t", 10.0),
+    "zara1": ("eth_ucy/zara1", "\t", 10.0),
+    "zara2": ("eth_ucy/zara2", "\t", 10.0),
+    "sdd": ("sdd/social_pool_data", " ", 12.0),
+    "sj": ("shuijing/orca_20humans_fov", "\t", 1.0),
+}
+
+
+def load_benchmark(dataset: str, data_root: str, split: str = "test",
+                   obs_len: int = 8, pred_len: int = 12, skip: int = 1,
+                   max_peds: int | None = None,
+                   cache: bool = True) -> List[dict]:
+    """Load a named benchmark split in the reference's directory layout
+    (mgnn/utils.py:100-115 ``load_batch_dataset``).
+
+    eth/ucy: ``<root>/eth_ucy/<name>/{train,val,test}/*.txt`` (pre-split
+    files; mode=None). 'sj' / self-collected: flat ``<root>/.../*.txt``
+    with the 80/20 in-file mode split (trajectories.py:45-53). Windows are
+    cached to ``<dir>/<dataset>_dset_<split>_windows.npz`` -- the analog of
+    the reference's ``*_batch_trajectories.pt`` artifacts
+    (batch_trajectories.py + utils.py:101).
+    """
+    if dataset in BENCHMARKS:
+        sub, delim, frame_diff = BENCHMARKS[dataset]
+        base = os.path.join(data_root, sub)
+    else:  # arbitrary directory of txt files, sj-style split
+        base, delim, frame_diff = os.path.join(data_root, dataset), "\t", 1.0
+    split_dir = os.path.join(base, split)
+    if os.path.isdir(split_dir):
+        data_dir, mode = split_dir, None
+    elif os.path.isdir(base):
+        data_dir, mode = base, split
+    else:
+        raise FileNotFoundError(f"no dataset at {base}")
+
+    cache_path = os.path.join(
+        data_dir, f"{dataset}_dset_{split}_windows.npz")
+    if cache and os.path.exists(cache_path):
+        z = np.load(cache_path)
+        n = int(z["n"])
+        keys = ("v", "A", "attn_mask", "loss_mask", "loss_mask_rel")
+        return [{k: z[f"{k}_{i}"] for k in keys} for i in range(n)]
+
+    windows = []
+    for name in sorted(os.listdir(data_dir)):
+        if not name.endswith(".txt"):
+            continue
+        rec = read_file(os.path.join(data_dir, name), delim)
+        windows.extend(reference_windows(
+            rec, obs_len, pred_len, skip, frame_diff, mode, max_peds))
+    if windows:
+        # re-pad to a common dataset-wide width
+        widest = max(w["v"].shape[1] for w in windows)
+        for i, w in enumerate(windows):
+            P0 = w["v"].shape[1]
+            if P0 < widest:
+                pad = lambda a, axes: np.pad(
+                    a, [(0, widest - P0) if ax in axes else (0, 0)
+                        for ax in range(a.ndim)])
+                windows[i] = {
+                    "v": pad(w["v"], (1,)), "A": pad(w["A"], (1, 2)),
+                    "attn_mask": pad(w["attn_mask"], (1, 2)),
+                    "loss_mask": pad(w["loss_mask"], (0,)),
+                    "loss_mask_rel": pad(w["loss_mask_rel"], (0,)),
+                }
+    if cache and windows:
+        flat = {"n": np.asarray(len(windows))}
+        for i, w in enumerate(windows):
+            for k, v in w.items():
+                flat[f"{k}_{i}"] = v
+        try:
+            np.savez_compressed(cache_path, **flat)
+        except OSError:
+            pass  # read-only dataset dir; skip the cache
+    return windows

@@ -104,12 +104,13 @@ def loss_fn(cfg: PredConfig, params, batch, tau, key, deterministic_loss):
     else:
         nll, mask = negative_log_likelihood(gp, v_pred_gt, lm_fp, lm_pred)
         loss = jnp.sum(nll) / jnp.maximum(jnp.sum(mask), 1.0)
-    # metrics over fully-observed pedestrians (gst train.py:136-138)
+    # metrics over fully-observed pedestrians; returned as (sum, sum, count)
+    # so the epoch loop can normalize over the whole epoch exactly like the
+    # reference (gst train.py:149-156: concat then sum/sum)
     full = (jnp.sum(batch["loss_mask_rel"], axis=2)
             == batch["loss_mask_rel"].shape[2]).astype(jnp.float32)
     aoe, foe = offset_errors(x_sample, v_pred_gt, full)
-    denom = jnp.maximum(jnp.sum(full), 1.0)
-    return loss, (jnp.sum(aoe) / denom, jnp.sum(foe) / denom)
+    return loss, (jnp.sum(aoe), jnp.sum(foe), jnp.sum(full))
 
 
 def make_train_step(cfg: PredConfig, tx, deterministic_loss: bool,
@@ -119,12 +120,12 @@ def make_train_step(cfg: PredConfig, tx, deterministic_loss: bool,
         if rotation_pattern is not None:
             key, k_rot = jax.random.split(key)
             batch = random_rotate_batch(batch, k_rot, rotation_pattern)
-        (loss, (aoe, foe)), grads = jax.value_and_grad(
+        (loss, aux), grads = jax.value_and_grad(
             loss_fn, argnums=1, has_aux=True)(cfg, params, batch, tau, key,
                                               deterministic_loss)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, aoe, foe
+        return params, opt_state, loss, aux
 
     return step
 
@@ -132,9 +133,8 @@ def make_train_step(cfg: PredConfig, tx, deterministic_loss: bool,
 def make_eval_step(cfg: PredConfig, deterministic_loss: bool):
     @jax.jit
     def step(params, batch, tau, key):
-        loss, (aoe, foe) = loss_fn(cfg, params, batch, tau, key,
-                                   deterministic_loss)
-        return loss, aoe, foe
+        loss, aux = loss_fn(cfg, params, batch, tau, key, deterministic_loss)
+        return loss, aux
 
     return step
 
@@ -183,25 +183,33 @@ def train(cfg: PredConfig, train_windows, val_windows, out_dir: str,
         t0 = time.time()
         ekey = jax.random.fold_in(base_key, epoch)
         rng = np.random.RandomState(seed + epoch)
-        tl, ta, tf = [], [], []
+        tl, t_sums = [], np.zeros(3)
         for i, batch in enumerate(ds.batches(train_windows, batch_size, rng)):
             k = jax.random.fold_in(ekey, i)
             batch = jax.tree.map(jnp.asarray, batch)
-            params, opt_state, loss, aoe, foe = tstep(params, opt_state,
-                                                      batch, tau, k)
-            tl.append(float(loss)); ta.append(float(aoe)); tf.append(float(foe))
-        vl, va, vf = [], [], []
+            params, opt_state, loss, aux = tstep(params, opt_state,
+                                                 batch, tau, k)
+            tl.append(float(loss))
+            t_sums += np.asarray(jax.tree.map(float, aux))
+        vl, v_sums = [], np.zeros(3)
         vkey = jax.random.fold_in(ekey, 1 << 20)
         for i, batch in enumerate(ds.batches(val_windows, batch_size, rng,
                                              shuffle=False)):
             k = jax.random.fold_in(vkey, i)
             batch = jax.tree.map(jnp.asarray, batch)
-            loss, aoe, foe = estep(params, batch, tau, k)
-            vl.append(float(loss)); va.append(float(aoe)); vf.append(float(foe))
-        for name, vals in (("train_loss", tl), ("val_loss", vl),
-                           ("train_aoe", ta), ("val_aoe", va),
-                           ("train_foe", tf), ("val_foe", vf)):
-            hist[name].append(float(np.mean(vals)) if vals else float("nan"))
+            loss, aux = estep(params, batch, tau, k)
+            vl.append(float(loss))
+            v_sums += np.asarray(jax.tree.map(float, aux))
+        # epoch normalization: sum over peds / sum of full-period mask,
+        # exactly the reference's (gst train.py:149-156, eval.py:139-147)
+        td, vd = max(t_sums[2], 1.0), max(v_sums[2], 1.0)
+        for name, val in (("train_loss", np.mean(tl) if tl else np.nan),
+                          ("val_loss", np.mean(vl) if vl else np.nan),
+                          ("train_aoe", t_sums[0] / td),
+                          ("val_aoe", v_sums[0] / vd),
+                          ("train_foe", t_sums[1] / td),
+                          ("val_foe", v_sums[1] / vd)):
+            hist[name].append(float(val))
         print(f"Epoch {epoch} | train loss {hist['train_loss'][-1]:.4f} | "
               f"val loss {hist['val_loss'][-1]:.4f} | "
               f"train aoe {hist['train_aoe'][-1]:.4f} | "
@@ -209,10 +217,18 @@ def train(cfg: PredConfig, train_windows, val_windows, out_dir: str,
               f"tau {tau:.3f} | {time.time()-t0:.1f}s")
         if epoch % save_epochs == 0 or epoch == epochs:
             from ...utils.checkpoint import save_trainer_checkpoint
-            save_trainer_checkpoint(os.path.join(out_dir, f"epoch_{epoch}"),
-                                    params, opt_state)
+            ck_dir = os.path.join(out_dir, f"epoch_{epoch}")
+            save_trainer_checkpoint(ck_dir, params, opt_state)
             with open(os.path.join(out_dir, "train_hist.json"), "w") as f:
                 json.dump(hist, f)
+            # stored val metrics enable eval.py's checkpoint-consistency
+            # check (the reference stores val_loss_epoch etc. in its .pt,
+            # gst train.py:166-177 / eval.py:36-41)
+            with open(os.path.join(ck_dir, "val_metrics.json"), "w") as f:
+                json.dump({"val_loss_epoch": hist["val_loss"][-1],
+                           "val_aoe_epoch": hist["val_aoe"][-1],
+                           "val_foe_epoch": hist["val_foe"][-1],
+                           "epoch": epoch}, f)
     return params, hist
 
 

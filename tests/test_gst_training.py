@@ -52,8 +52,9 @@ def test_windows_and_training_step(records):
     for it in range(8):
         for batch in ds.batches(windows, min(4, len(windows)), rng):
             batch = jax.tree.map(jnp.asarray, batch)
-            params, opt_state, loss, aoe, foe = step(
+            params, opt_state, loss, (aoe_sum, foe_sum, n_full) = step(
                 params, opt_state, batch, 0.5, jax.random.key(it))
+            assert float(n_full) >= 0
             losses.append(float(loss))
             break
     assert np.isfinite(losses).all()
