@@ -206,7 +206,11 @@ class NetworkConfig:
     # route the human-human attention through the fused Pallas kernel
     # (ops/masked_attention.py fused_graph_attention: QKV projection +
     # masked MHA + out-projection in one VMEM pass) instead of XLA einsum
-    use_pallas_attention: bool = False
+    # Default ON since the dense-packed fused kernel beats the XLA einsum
+    # path 1.3-1.7x at flagship shapes on v5e (RESULTS.md "Kernel"); the env
+    # falls back to interpret mode on CPU. Set False (or pallas_dtype
+    # "float32") for strict-parity runs.
+    use_pallas_attention: bool = True
     pallas_dtype: str = "bfloat16"    # "float32" for strict parity
     # shard the human-human attention's agent axis over the mesh 'tp' axis
     # (parallel/edge_partition.py ring attention + ppermute halo exchange);

@@ -251,15 +251,22 @@ def main(argv=None):
     p.add_argument("--resume-epoch", type=int, default=0,
                    help="resume from <out>/epoch_N (reference "
                         "--resume_training/--resume_epoch)")
+    p.add_argument("--stride", type=int, default=1,
+                   help="window start stride (reference --skip)")
+    p.add_argument("--max-windows", type=int, default=0,
+                   help="cap the train window count (0 = all)")
     args = p.parse_args(argv)
 
     cfg = PredConfig(spatial_num_heads_edges=args.edge_heads)
     train_w = ds.load_dataset(os.path.join(args.data_dir, "train"),
-                              cfg.obs_seq_len, cfg.pred_seq_len, args.max_peds)
+                              cfg.obs_seq_len, cfg.pred_seq_len,
+                              args.max_peds, stride=args.stride)
+    if args.max_windows:
+        train_w = train_w[:args.max_windows]
     test_dir = os.path.join(args.data_dir, "test")
     val_w = ds.load_dataset(test_dir, cfg.obs_seq_len, cfg.pred_seq_len,
-                            args.max_peds) if os.path.isdir(test_dir) else \
-        train_w[: max(len(train_w) // 10, 1)]
+                            args.max_peds, stride=args.stride) \
+        if os.path.isdir(test_dir) else train_w[: max(len(train_w) // 10, 1)]
     print(f"{len(train_w)} train windows, {len(val_w)} val windows")
     train(cfg, train_w, val_w, args.out, epochs=args.epochs,
           temp_epochs=args.temp_epochs, lr=args.lr,

@@ -100,7 +100,15 @@ class SpatialEdgeSelfAttn(nn.Module):
                           nn.initializers.xavier_uniform(), (D, 3 * D))
         b_in = self.param("mha_in_proj_bias", zeros, (3 * D,))
 
-        if self.use_pallas:
+        # the fused kernel only lowers on real TPUs; elsewhere (CPU tests,
+        # virtual-mesh dryruns) the identical-math einsum path below runs,
+        # keeping strict f32 parity and avoiding interpret-mode slowness.
+        # Exception: float32 strict-parity configs DO run the kernel in
+        # interpret mode off-TPU — that is how test_pallas_attention proves
+        # kernel-through-policy parity on CPU.
+        use_pallas = self.use_pallas and (
+            jax.default_backend() == "tpu" or self.pallas_dtype == "float32")
+        if use_pallas:
             # ONE fused Pallas kernel: QKV projection + masked MHA + out
             # projection, VMEM-resident. The reference's double projection
             # (Dense then torch in_proj) folds into a single (D, 3D) matmul:

@@ -81,9 +81,11 @@ def test_policy_pallas_path_matches_einsum():
     from crowdnav_prediction_attngraph_tpu.models.policy_net import (
         SelfAttnMergeSRNN, init_hidden)
 
-    cfg0 = varnum_config(human_num=6)
-    cfg1 = cfg0.replace(network=dataclasses.replace(
-        cfg0.network, use_pallas_attention=True, pallas_dtype="float32"))
+    base = varnum_config(human_num=6)
+    cfg0 = base.replace(network=dataclasses.replace(
+        base.network, use_pallas_attention=False))
+    cfg1 = base.replace(network=dataclasses.replace(
+        base.network, use_pallas_attention=True, pallas_dtype="float32"))
 
     N, A, D = 5, cfg0.sim.max_human_num, cfg0.spatial_edge_dim
     rng = np.random.RandomState(0)
