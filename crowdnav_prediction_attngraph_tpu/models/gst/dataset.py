@@ -219,6 +219,86 @@ def reference_windows(records: np.ndarray, obs_len: int = 8,
     return windows
 
 
+def _repad(windows: List[dict]) -> List[dict]:
+    """Pad every window to the dataset-wide max pedestrian-slot count so
+    batches stack into one fixed shape (the TPU-first replacement for the
+    reference's variable-size batch_size=1 graphs)."""
+    if not windows:
+        return windows
+    widest = max(w["v"].shape[1] for w in windows)
+    for i, w in enumerate(windows):
+        P0 = w["v"].shape[1]
+        if P0 < widest:
+            pad = lambda a, axes: np.pad(
+                a, [(0, widest - P0) if ax in axes else (0, 0)
+                    for ax in range(a.ndim)])
+            windows[i] = {
+                "v": pad(w["v"], (1,)), "A": pad(w["A"], (1, 2)),
+                "attn_mask": pad(w["attn_mask"], (1, 2)),
+                "loss_mask": pad(w["loss_mask"], (0,)),
+                "loss_mask_rel": pad(w["loss_mask_rel"], (0,)),
+            }
+    return windows
+
+
+def read_trajnet_file(path: str):
+    """Parse a trajnet++ ndjson file (trajectories_trajnet.py:209-251).
+
+    Returns (records (N, 4) of frame/ped/x/y, frame_diff,
+    sorted unique scene start frames). ndjson is plain JSON-per-line, so no
+    extra dependency is needed."""
+    import json
+    if not path.endswith(".ndjson"):
+        return np.zeros((0, 4)), 0.0, np.zeros((0,))
+    rows, starts, frame_diff = [], [], 0.0
+    with open(path) as f:
+        for line in f:
+            line = line.strip()
+            if not line:
+                continue
+            post = json.loads(line)
+            if "scene" in post:
+                s = post["scene"]["s"]
+                if frame_diff == 0.0:
+                    frame_diff = (post["scene"]["e"] - s) / 20
+                starts.append(s)
+            if "track" in post:
+                t = post["track"]
+                rows.append([t["f"], t["p"], t["x"], t["y"]])
+    return (np.asarray(rows, np.float64), frame_diff,
+            np.unique(np.asarray(starts)))
+
+
+def trajnet_windows(path: str, obs_len: int = 8, pred_len: int = 12,
+                    skip: int = 1, mode: str | None = None,
+                    max_peds: int | None = None) -> List[dict]:
+    """Windows anchored at the file's scene start frames with the reference's
+    mode split and skip (trajectories_trajnet.py:37-100; the oversized 'cff'
+    scenes force skip=100 there, reproduced here)."""
+    records, frame_diff, starts = read_trajnet_file(path)
+    if len(records) == 0:
+        return []
+    if os.path.basename(path)[:3] == "cff":
+        skip = 100
+    if mode == "train":
+        starts = starts[:int(0.8 * len(starts)):skip]
+    elif mode in ("val", "test"):
+        starts = starts[int(0.8 * len(starts))::skip]
+    else:
+        starts = starts[::skip]
+    seq_len = obs_len + pred_len
+    windows = []
+    for s in starts:
+        fr = s + frame_diff * np.arange(seq_len)
+        sel = records[np.isin(records[:, 0], fr)]
+        if len(sel) == 0:
+            continue
+        windows.extend(reference_windows(
+            sel, obs_len, pred_len, skip=seq_len, frame_diff=frame_diff,
+            mode=None, max_peds=max_peds))
+    return windows
+
+
 # name -> (subdir under data root, delim, frame_diff); eth/ucy per the
 # reference's datasets/eth_ucy layout, 'sj' per utils.py:109-110 (the
 # self-collected CrowdNav sim data the shipped checkpoints train on)
@@ -247,6 +327,19 @@ def load_benchmark(dataset: str, data_root: str, split: str = "test",
     the reference's ``*_batch_trajectories.pt`` artifacts
     (batch_trajectories.py + utils.py:101).
     """
+    if dataset in ("real", "synth", "all"):
+        # trajnet++ ndjson scenes (utils.py:104-105 directory convention)
+        base = os.path.join(data_root, "trajnet++", "train")
+        windows = []
+        for name in sorted(os.listdir(base)):
+            if not name.endswith(".ndjson"):
+                continue
+            if dataset != "all" and dataset not in name:
+                continue
+            windows.extend(trajnet_windows(
+                os.path.join(base, name), obs_len, pred_len, skip,
+                mode=split, max_peds=max_peds))
+        return _repad(windows)
     if dataset in BENCHMARKS:
         sub, delim, frame_diff = BENCHMARKS[dataset]
         base = os.path.join(data_root, sub)
@@ -275,21 +368,7 @@ def load_benchmark(dataset: str, data_root: str, split: str = "test",
         rec = read_file(os.path.join(data_dir, name), delim)
         windows.extend(reference_windows(
             rec, obs_len, pred_len, skip, frame_diff, mode, max_peds))
-    if windows:
-        # re-pad to a common dataset-wide width
-        widest = max(w["v"].shape[1] for w in windows)
-        for i, w in enumerate(windows):
-            P0 = w["v"].shape[1]
-            if P0 < widest:
-                pad = lambda a, axes: np.pad(
-                    a, [(0, widest - P0) if ax in axes else (0, 0)
-                        for ax in range(a.ndim)])
-                windows[i] = {
-                    "v": pad(w["v"], (1,)), "A": pad(w["A"], (1, 2)),
-                    "attn_mask": pad(w["attn_mask"], (1, 2)),
-                    "loss_mask": pad(w["loss_mask"], (0,)),
-                    "loss_mask_rel": pad(w["loss_mask_rel"], (0,)),
-                }
+    windows = _repad(windows)
     if cache and windows:
         flat = {"n": np.asarray(len(windows))}
         for i, w in enumerate(windows):

@@ -104,6 +104,44 @@ def test_load_benchmark_layout_and_cache(tmp_path):
             np.testing.assert_array_equal(a[k], b[k])
 
 
+def test_trajnet_loader(tmp_path):
+    """trajnet++ ndjson scenes load into padded windows with the scene-start
+    anchoring and mode split (reference trajectories_trajnet.py)."""
+    import json
+    d = tmp_path / "trajnet++" / "train"
+    d.mkdir(parents=True)
+    rng = np.random.RandomState(0)
+    lines = []
+    # 10 scenes at starts 0, 10, ..., 90; frame_diff (e - s) / 20 = 1
+    for i in range(10):
+        s = i * 10
+        lines.append({"scene": {"id": i, "p": 1, "s": s, "e": s + 20,
+                                "fps": 2.5, "tag": [3, []]}})
+    for pid in range(1, 4):
+        x0, y0 = rng.uniform(-5, 5, 2)
+        for f in range(0, 120):
+            lines.append({"track": {"f": f, "p": pid,
+                                    "x": x0 + 0.1 * f, "y": y0 - 0.05 * f}})
+    with open(d / "synth_scenes.ndjson", "w") as fh:
+        for ln in lines:
+            fh.write(json.dumps(ln) + "\n")
+
+    w_all = ds.load_benchmark("synth", str(tmp_path), None,
+                              obs_len=8, pred_len=12)
+    assert len(w_all) == 10
+    w_train = ds.load_benchmark("synth", str(tmp_path), "train",
+                                obs_len=8, pred_len=12)
+    w_val = ds.load_benchmark("synth", str(tmp_path), "val",
+                              obs_len=8, pred_len=12)
+    assert len(w_train) == 8 and len(w_val) == 2
+    v = w_all[0]["v"]
+    assert v.shape[0] == 20
+    # constant-velocity tracks -> constant displacements after frame 0
+    active = w_all[0]["loss_mask"].sum(axis=1) > 0
+    assert int(active.sum()) == 3
+    np.testing.assert_allclose(v[1:, :3, 0], 0.1, atol=1e-5)
+
+
 def test_eval_modes_run(tmp_path):
     """val + 20-sample test inference produce finite reference-normalized
     metrics on a tiny dataset with fresh params."""
