@@ -29,7 +29,7 @@ NEG_INF = -1e30
 
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, a_pad: int,
-                 r_blk: int, hd: int, scale: float):
+                 r_blk: int, hd: int, scale: float, strip_rows: int):
     # refs: q/k/v (r_blk, a_pad, C) — C = lane-aligned group of heads
     # (C // hd heads per kernel call); mask (1, 8, n)
     n = r_blk * a_pad
@@ -38,29 +38,40 @@ def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, a_pad: int,
     k = k_ref[:].reshape(n, C).astype(jnp.float32)
     v = v_ref[:].reshape(n, C).astype(jnp.float32)
 
-    # block-diagonal mask: token i may attend token j iff same packed row
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // a_pad
-    row_j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // a_pad
+    # block-diagonal attention sub-tiled into whole-row strips (see
+    # _fused_kernel): only the (m, m) diagonal strips of the (n, n) logits
+    # are materialized — token i attends token j iff same packed row
+    g = strip_rows
+    num_strips = r_blk // g
+    m = g * a_pad
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0) // a_pad
+    row_j = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1) // a_pad
     same_row = row_i == row_j
     key_valid = mask_ref[0, 0:1, :]                            # (1, n)
-    ok = same_row & (key_valid > 0)
 
-    outs = []
-    for h in range(C // hd):
-        qh = q[:, h * hd:(h + 1) * hd]
-        kh = k[:, h * hd:(h + 1) * hd]
-        vh = v[:, h * hd:(h + 1) * hd]
-        s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)  # (n, n)
-        s = jnp.where(ok, s, NEG_INF)
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(jnp.dot(p, vh, preferred_element_type=jnp.float32))
-    o_ref[:] = jnp.concatenate(outs, axis=-1).reshape(r_blk, a_pad, C)
+    strips = []
+    for s_i in range(num_strips):
+        lo = s_i * m
+        ok = same_row & (key_valid[:, lo:lo + m] > 0)
+        bias = jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
+        outs = []
+        for h in range(C // hd):
+            qh = q[lo:lo + m, h * hd:(h + 1) * hd]
+            kh = k[lo:lo + m, h * hd:(h + 1) * hd]
+            vh = v[lo:lo + m, h * hd:(h + 1) * hd]
+            s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
+            s = s + bias
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(jnp.dot(p, vh, preferred_element_type=jnp.float32))
+        strips.append(jnp.concatenate(outs, axis=-1))
+    o_ref[:] = jnp.concatenate(strips, axis=0).reshape(r_blk, a_pad, C)
 
 
 def packed_masked_attention(q, k, v, mask, num_heads: int,
-                            r_blk: int = 8, interpret: bool = False):
+                            r_blk: int = 8, strip_rows: int | None = None,
+                            interpret: bool = False):
     """q, k, v: (rows, A, D); mask: (rows, A) bool (True = valid key).
     Returns (rows, A, D) == softmax(q k^T / sqrt(hd) + mask) v per head.
 
@@ -72,6 +83,8 @@ def packed_masked_attention(q, k, v, mask, num_heads: int,
 
     # pad A so each packed block is lane-aligned (r_blk * a_pad % 256 == 0)
     a_pad = max(32, ((A + 31) // 32) * 32)
+    if strip_rows is None:
+        strip_rows = _pick_strip(r_blk, a_pad)
     rows_pad = ((rows + r_blk - 1) // r_blk) * r_blk
 
     def pad_qkv(x):
@@ -95,7 +108,7 @@ def packed_masked_attention(q, k, v, mask, num_heads: int,
                             memory_space=pltpu.VMEM)
     out = pl.pallas_call(
         functools.partial(_attn_kernel, a_pad=a_pad, r_blk=r_blk, hd=hd,
-                          scale=scale),
+                          scale=scale, strip_rows=strip_rows),
         out_shape=jax.ShapeDtypeStruct((rows_pad, a_pad, D), jnp.float32),
         grid=grid,
         in_specs=[
@@ -136,10 +149,18 @@ def _pick_packing(A: int, r_blk_hint: int = 32,
 
 def _fused_kernel(x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref,
                   *, a_pad: int, r_blk: int, hd: int, num_heads: int,
-                  scale: float, compute_dtype):
+                  scale: float, compute_dtype, strip_rows: int):
     """x (n, D) packed tokens -> QKV projection -> block-diagonal masked MHA
     -> out projection, one VMEM-resident pass. Weights stay resident across
-    grid steps (constant index maps)."""
+    grid steps (constant index maps).
+
+    The logits tile is SUB-TILED: attention is block-diagonal (a token only
+    attends within its own packed row of a_pad agents), so a full (n, n)
+    logits tile computes r_blk-1 garbage blocks per useful one and its
+    softmax is pure wasted VPU work. Instead the r_blk packed rows are cut
+    into strips of `strip_rows` whole rows (m = strip_rows * a_pad tokens)
+    and only the (m, m) diagonal strips are materialized: VPU softmax work
+    drops by r_blk/strip_rows while every useful logit is still computed."""
     n = r_blk * a_pad
     D = x_ref.shape[-1]
     x = x_ref[:].astype(compute_dtype)
@@ -150,33 +171,57 @@ def _fused_kernel(x_ref, mask_ref, wqkv_ref, bqkv_ref, wo_ref, bo_ref, o_ref,
     k = qkv[:, D:2 * D]
     v = qkv[:, 2 * D:]
 
-    row_i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0) // a_pad
-    row_j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1) // a_pad
+    g = strip_rows
+    num_strips = r_blk // g
+    m = g * a_pad
+    # block-diagonal mask within one strip — identical for every strip since
+    # strips contain whole packed rows
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0) // a_pad
+    row_j = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1) // a_pad
     same_row = row_i == row_j
     key_valid = mask_ref[0, 0:1, :]                             # (1, n)
-    ok = same_row & (key_valid > 0)
 
-    outs = []
-    for h in range(num_heads):
-        qh = q[:, h * hd:(h + 1) * hd].astype(compute_dtype)
-        kh = k[:, h * hd:(h + 1) * hd].astype(compute_dtype)
-        vh = v[:, h * hd:(h + 1) * hd].astype(compute_dtype)
-        s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
-        s = jnp.where(ok, s, NEG_INF)
-        s = s - jnp.max(s, axis=-1, keepdims=True)
-        p = jnp.exp(s)
-        p = p / jnp.sum(p, axis=-1, keepdims=True)
-        outs.append(jnp.dot(p.astype(compute_dtype), vh,
-                            preferred_element_type=jnp.float32))
-    attn = jnp.concatenate(outs, axis=-1).astype(compute_dtype)  # (n, D)
+    strips = []
+    for s_i in range(num_strips):
+        lo = s_i * m
+        ok = same_row & (key_valid[:, lo:lo + m] > 0)
+        bias = jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)  # (m, m)
+        outs = []
+        for h in range(num_heads):
+            qh = q[lo:lo + m, h * hd:(h + 1) * hd].astype(compute_dtype)
+            kh = k[lo:lo + m, h * hd:(h + 1) * hd].astype(compute_dtype)
+            vh = v[lo:lo + m, h * hd:(h + 1) * hd].astype(compute_dtype)
+            s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
+            s = s + bias
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)
+            outs.append(jnp.dot(p.astype(compute_dtype), vh,
+                                preferred_element_type=jnp.float32))
+        strips.append(jnp.concatenate(outs, axis=-1))
+    attn = jnp.concatenate(strips, axis=0).astype(compute_dtype)  # (n, D)
     out = jnp.dot(attn, wo_ref[:].astype(compute_dtype),
                   preferred_element_type=jnp.float32) + bo_ref[0]
     o_ref[:] = out
 
 
+def _pick_strip(r_blk: int, a_pad: int) -> int:
+    """Largest whole-row strip (divisor of r_blk) whose token count stays at
+    or under one VPU lane group of 128 — bigger strips re-grow the garbage
+    off-diagonal logits, smaller ones shrink the per-strip matmuls below
+    MXU-useful sizes. A=20 -> strips of 4 rows / 80 tokens: 8x less softmax
+    VPU work than the full 640-token tile."""
+    best = 1
+    for g in range(1, r_blk + 1):
+        if r_blk % g == 0 and g * a_pad <= 128:
+            best = g
+    return best
+
+
 def fused_graph_attention(x, mask, w_qkv, b_qkv, w_out, b_out,
                           num_heads: int, r_blk: int | None = None,
                           compute_dtype=jnp.bfloat16,
+                          strip_rows: int | None = None,
                           interpret: bool = False):
     """End-to-end fused attention block: x @ W_qkv -> per-row masked MHA ->
     out-projection, in ONE Pallas kernel (no HBM round-trips between sub-ops).
@@ -206,6 +251,8 @@ def fused_graph_attention(x, mask, w_qkv, b_qkv, w_out, b_out,
         r_blk, a_pad = _pick_packing(A)
     else:
         _, a_pad = _pick_packing(A, r_blk)
+    if strip_rows is None:
+        strip_rows = _pick_strip(r_blk, a_pad)
     rows_pad = ((rows + r_blk - 1) // r_blk) * r_blk
     n = r_blk * a_pad
     num_blocks = rows_pad // r_blk
@@ -222,7 +269,8 @@ def fused_graph_attention(x, mask, w_qkv, b_qkv, w_out, b_out,
     out = pl.pallas_call(
         functools.partial(_fused_kernel, a_pad=a_pad, r_blk=r_blk, hd=hd,
                           num_heads=num_heads, scale=scale,
-                          compute_dtype=compute_dtype),
+                          compute_dtype=compute_dtype,
+                          strip_rows=strip_rows),
         out_shape=jax.ShapeDtypeStruct((rows_pad * a_pad, D), jnp.float32),
         grid=(num_blocks,),
         in_specs=[

@@ -49,6 +49,35 @@ def test_fused_kernel_matches_reference_f32(rows, A, r_blk):
     np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4)
 
 
+@pytest.mark.parametrize("strip_rows", [1, 2, 4, 8, 16, 32])
+def test_fused_kernel_strip_sweep(strip_rows):
+    """Every logits sub-tiling (strips of whole packed rows) is exact —
+    block-diagonal attention never crosses a strip boundary."""
+    x, mask, w_qkv, b_qkv, w_out, b_out = _fused_inputs(45, 20, seed=7)
+    ref = reference_fused_graph_attention(x, mask, w_qkv, b_qkv, w_out,
+                                          b_out, 8)
+    got = fused_graph_attention(x, mask, w_qkv, b_qkv, w_out, b_out, 8,
+                                r_blk=32, compute_dtype=jnp.float32,
+                                strip_rows=strip_rows, interpret=True)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=3e-4)
+
+
+def test_packed_kernel_strip_sweep():
+    rows, A, D, H = 21, 20, 512, 8
+    rng = np.random.RandomState(5)
+    q = jnp.asarray(rng.randn(rows, A, D), jnp.float32)
+    k = jnp.asarray(rng.randn(rows, A, D), jnp.float32)
+    v = jnp.asarray(rng.randn(rows, A, D), jnp.float32)
+    det = rng.randint(1, A + 1, rows)
+    mask = jnp.asarray(np.arange(A)[None, :] < det[:, None])
+    ref = reference_masked_attention(q, k, v, mask, H)
+    for strip_rows in (1, 2, 4, 8):
+        got = packed_masked_attention(q, k, v, mask, H,
+                                      strip_rows=strip_rows, interpret=True)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   atol=2e-5)
+
+
 def test_fused_kernel_bf16_close():
     x, mask, w_qkv, b_qkv, w_out, b_out = _fused_inputs(16, 20, seed=3)
     ref = reference_fused_graph_attention(x, mask, w_qkv, b_qkv, w_out,
