@@ -96,11 +96,15 @@ def load_dataset(data_dir: str, obs_len: int = 5, pred_len: int = 5,
 
 
 def batches(windows: List[dict], batch_size: int, rng: np.random.RandomState,
-            shuffle: bool = True) -> Iterator[dict]:
+            shuffle: bool = True, drop_last: bool = True) -> Iterator[dict]:
+    """drop_last=True keeps every training batch one fixed XLA shape;
+    evaluation passes False so a split smaller than batch_size (or its
+    remainder) is still scored — at the cost of one extra compile."""
     idx = np.arange(len(windows))
     if shuffle:
         rng.shuffle(idx)
-    for s in range(0, len(idx) - batch_size + 1, batch_size):
+    stop = len(idx) - batch_size + 1 if drop_last else len(idx)
+    for s in range(0, max(stop, 0), batch_size):
         sel = idx[s:s + batch_size]
         yield {k: np.stack([windows[i][k] for i in sel]) for k in windows[0]}
 
@@ -131,10 +135,35 @@ def read_file(path: str, delim: str = "\t") -> np.ndarray:
     return np.asarray(rows, np.float64)
 
 
+def read_sdd_file(path: str) -> np.ndarray:
+    """Raw Stanford Drone Dataset annotation parser
+    (trajectories_sdd.py:177-198 ``read_sdd_file``): lines of
+    ``track_id xmin ymin xmax ymax frame lost occluded generated "label"``.
+    Cars and lost boxes are dropped, only every 10th frame is kept
+    (30 fps video -> 3 Hz trajectories) and the bbox center becomes the
+    position. Returns (N, 4) rows of frame, ped_id, x, y."""
+    rows = []
+    with open(path) as f:
+        for line in f:
+            parts = line.rstrip().split()
+            if not parts:
+                continue
+            if parts[-1].strip('"') == "Car":
+                continue
+            tid, xmin, ymin, xmax, ymax, frame, lost, _occl, _gen = \
+                [float(x) for x in parts[:-1]]
+            if lost == 1 or frame % 10 != 0:
+                continue
+            rows.append([frame, tid, (xmin + xmax) / 2.0,
+                         (ymin + ymax) / 2.0])
+    return np.asarray(rows, np.float64)
+
+
 def reference_windows(records: np.ndarray, obs_len: int = 8,
                       pred_len: int = 12, skip: int = 1,
                       frame_diff: float = 10.0, mode: str | None = None,
-                      max_peds: int | None = None) -> List[dict]:
+                      max_peds: int | None = None,
+                      split_scheme: str = "80/20") -> List[dict]:
     """Windows with the reference's exact selection rules
     (trajectories.py:27-145):
 
@@ -157,13 +186,22 @@ def reference_windows(records: np.ndarray, obs_len: int = 8,
     frames = np.unique(records[:, 0]).tolist()
     frame_data = {f: records[records[:, 0] == f] for f in frames}
     num_sequences = int(np.floor((len(frames) - seq_len) / skip)) + 1
+    hi = num_sequences * skip + 1
     if mode is None:
-        idx_range = range(0, num_sequences * skip + 1, skip)
+        idx_range = range(0, hi, skip)
+    elif split_scheme == "80/10/10":
+        # the sdd variant splits train/val/test 80/10/10 by start index
+        # (trajectories_sdd.py:47-56) instead of trajectories.py's 80/20
+        bounds = {"train": (0, int(hi * 0.8)),
+                  "val": (int(hi * 0.8), int(hi * 0.9)),
+                  "test": (int(hi * 0.9), hi)}
+        if mode not in bounds:
+            raise ValueError(f"unknown mode {mode!r}")
+        idx_range = range(*bounds[mode], skip)
     elif mode == "train":
-        idx_range = range(0, int((num_sequences * skip + 1) * 0.8), skip)
+        idx_range = range(0, int(hi * 0.8), skip)
     elif mode in ("val", "test"):
-        idx_range = range(int((num_sequences * skip + 1) * 0.8),
-                          num_sequences * skip + 1, skip)
+        idx_range = range(int(hi * 0.8), hi, skip)
     else:
         raise ValueError(f"unknown mode {mode!r}")
 
@@ -308,7 +346,9 @@ BENCHMARKS = {
     "univ": ("eth_ucy/univ", "\t", 10.0),
     "zara1": ("eth_ucy/zara1", "\t", 10.0),
     "zara2": ("eth_ucy/zara2", "\t", 10.0),
-    "sdd": ("sdd/social_pool_data", " ", 12.0),
+    # sdd holds RAW annotation files (trajectories_sdd.py read_sdd_file);
+    # frames stride 10 after the every-10th-frame filter
+    "sdd": ("sdd/social_pool_data", "sdd-raw", 10.0),
     "sj": ("shuijing/orca_20humans_fov", "\t", 1.0),
 }
 
@@ -353,8 +393,11 @@ def load_benchmark(dataset: str, data_root: str, split: str = "test",
     else:
         raise FileNotFoundError(f"no dataset at {base}")
 
+    # window geometry is part of the cache key — a stale cache built at a
+    # different obs/pred split would silently mismatch the eval config
     cache_path = os.path.join(
-        data_dir, f"{dataset}_dset_{split}_windows.npz")
+        data_dir,
+        f"{dataset}_dset_{split}_o{obs_len}p{pred_len}s{skip}_windows.npz")
     if cache and os.path.exists(cache_path):
         z = np.load(cache_path)
         n = int(z["n"])
@@ -362,12 +405,16 @@ def load_benchmark(dataset: str, data_root: str, split: str = "test",
         return [{k: z[f"{k}_{i}"] for k in keys} for i in range(n)]
 
     windows = []
+    scheme = "80/10/10" if delim == "sdd-raw" else "80/20"
     for name in sorted(os.listdir(data_dir)):
         if not name.endswith(".txt"):
             continue
-        rec = read_file(os.path.join(data_dir, name), delim)
+        fp = os.path.join(data_dir, name)
+        rec = read_sdd_file(fp) if delim == "sdd-raw" else \
+            read_file(fp, delim)
         windows.extend(reference_windows(
-            rec, obs_len, pred_len, skip, frame_diff, mode, max_peds))
+            rec, obs_len, pred_len, skip, frame_diff, mode, max_peds,
+            split_scheme=scheme))
     windows = _repad(windows)
     if cache and windows:
         flat = {"n": np.asarray(len(windows))}

@@ -78,27 +78,30 @@ def evaluate_dataset(cfg: PredConfig, params, windows, batch_size: int = 16,
         cfg, p, b, tau, k, hard, sampling, deterministic_loss),
         static_argnums=(3, 4))
     rng = np.random.RandomState(0)
-    losses, mask_sum = [], 0.0
+    losses, weights, mask_sum = [], [], 0.0
     if mode == "val":
         aoe_sum = foe_sum = 0.0
         for i, batch in enumerate(ds.batches(windows, batch_size, rng,
-                                             shuffle=False)):
+                                             shuffle=False,
+                                             drop_last=False)):
             batch = jax.tree.map(jnp.asarray, batch)
             loss, aoe, foe, full = fwd(params, batch,
                                        jax.random.key(i), False, False)
             losses.append(float(loss))
+            weights.append(batch["v"].shape[0])
             aoe_sum += float(jnp.sum(aoe))
             foe_sum += float(jnp.sum(foe))
             mask_sum += float(jnp.sum(full))
         d = max(mask_sum, 1.0)
-        return {"loss": float(np.mean(losses)), "aoe": aoe_sum / d,
-                "foe": foe_sum / d}
+        # per-window mean (the reference iterates at batch_size 1)
+        return {"loss": float(np.average(losses, weights=weights)),
+                "aoe": aoe_sum / d, "foe": foe_sum / d}
     # test: num_samples stochastic rollouts per batch (eval.py:84-117)
     sampling = not deterministic_loss
     aoe_s = np.zeros(num_samples)
     foe_s = np.zeros(num_samples)
     for i, batch in enumerate(ds.batches(windows, batch_size, rng,
-                                         shuffle=False)):
+                                         shuffle=False, drop_last=False)):
         batch = jax.tree.map(jnp.asarray, batch)
         key = jax.random.key(1000 + i)
         batch_losses = []
@@ -110,9 +113,10 @@ def evaluate_dataset(cfg: PredConfig, params, windows, batch_size: int = 16,
             aoe_s[s] += float(jnp.sum(aoe))
             foe_s[s] += float(jnp.sum(foe))
         losses.append(float(np.mean(batch_losses)))
+        weights.append(batch["v"].shape[0])
         mask_sum += float(jnp.sum(full))
     d = max(mask_sum, 1.0)
-    return {"loss": float(np.mean(losses)),
+    return {"loss": float(np.average(losses, weights=weights)),
             "aoe": float(np.mean(aoe_s)) / d, "foe": float(np.mean(foe_s)) / d,
             "aoe_std": float(np.std(aoe_s, ddof=1)) / d,
             "foe_std": float(np.std(foe_s, ddof=1)) / d,

@@ -95,13 +95,93 @@ def test_load_benchmark_layout_and_cache(tmp_path):
     w1 = ds.load_benchmark("eth", str(tmp_path), "test",
                            obs_len=5, pred_len=5)
     assert len(w1) > 0
-    assert (d / "eth_dset_test_windows.npz").exists()
+    assert (d / "eth_dset_test_o5p5s1_windows.npz").exists()
     w2 = ds.load_benchmark("eth", str(tmp_path), "test",
                            obs_len=5, pred_len=5)  # cache hit
     assert len(w2) == len(w1)
     for a, b in zip(w1, w2):
         for k in a:
             np.testing.assert_array_equal(a[k], b[k])
+
+
+def _synthetic_sdd_annotations(n_frames=600, seed=2):
+    """Raw SDD annotation lines: track_id xmin ymin xmax ymax frame lost
+    occluded generated "label" at 30 fps (only frame % 10 == 0 survives)."""
+    rng = np.random.RandomState(seed)
+    lines = []
+    spans = [(0, n_frames), (0, n_frames), (100, 400), (200, 550)]
+    for pid, (s, e) in enumerate(spans):
+        x0, y0 = rng.uniform(100, 500, 2)
+        vx, vy = rng.uniform(-2, 2, 2)
+        for f in range(s, e):
+            cx, cy = x0 + vx * f / 10, y0 + vy * f / 10
+            lost = 1 if (pid == 2 and 250 <= f < 280) else 0
+            lines.append(f'{pid + 1} {cx - 5:.1f} {cy - 7:.1f} {cx + 5:.1f} '
+                         f'{cy + 7:.1f} {f} {lost} 0 0 "Pedestrian"')
+    # a Car track and an off-grid frame line: both must be dropped
+    lines.append('99 0 0 10 10 100 0 0 0 "Car"')
+    return lines
+
+
+@pytest.fixture(scope="module")
+def sdd_path(tmp_path_factory):
+    d = tmp_path_factory.mktemp("sddraw")
+    p = d / "annotations.txt"
+    p.write_text("\n".join(_synthetic_sdd_annotations()) + "\n")
+    return str(p)
+
+
+def test_read_sdd_file_matches_reference(sdd_path):
+    sys.path.insert(0, "/root/reference/gst_updated")
+    try:
+        from src.mgnn.trajectories_sdd import read_sdd_file as ref_read
+        ref = ref_read(sdd_path)
+    finally:
+        sys.path.pop(0)
+    ours = ds.read_sdd_file(sdd_path)
+    np.testing.assert_allclose(ours, ref)
+    assert not np.any(ours[:, 1] == 99)            # Car dropped
+    assert np.all(ours[:, 0] % 10 == 0)            # every-10th-frame filter
+
+
+@pytest.mark.parametrize("mode", ["train", "val", "test"])
+def test_sdd_windows_parity(sdd_path, mode):
+    """sdd raw annotations -> same windows as the reference's sdd
+    TrajectoriesDataset, including its 80/10/10 mode split."""
+    sys.path.insert(0, "/root/reference/gst_updated")
+    try:
+        from src.mgnn.trajectories_sdd import TrajectoriesDataset
+        ref = TrajectoriesDataset(os.path.dirname(sdd_path), obs_seq_len=8,
+                                  pred_seq_len=12, mode=mode,
+                                  frame_diff=10.0)
+    finally:
+        sys.path.pop(0)
+    rec = ds.read_sdd_file(sdd_path)
+    ours = ds.reference_windows(rec, 8, 12, skip=1, frame_diff=10.0,
+                                mode=mode, split_scheme="80/10/10")
+    assert len(ours) == len(ref) > 0
+    for i in range(len(ref)):
+        (obs_traj, _pt, _or, _pr, lm_rel, lm, v_obs, _Ao, v_pred, _Ap,
+         _amo, _amp) = ref[i]
+        w = ours[i]
+        P_ref = obs_traj.shape[0]
+        np.testing.assert_array_equal(w["loss_mask"][:P_ref], lm.numpy())
+        np.testing.assert_array_equal(w["loss_mask_rel"][:P_ref],
+                                      lm_rel.numpy())
+        v_ref = np.concatenate([v_obs.numpy(), v_pred.numpy()], axis=0)
+        m = lm_rel.numpy().T[:, :, None]
+        np.testing.assert_allclose(w["v"][:, :P_ref] * m, v_ref * m,
+                                   atol=1e-4)
+
+
+def test_load_benchmark_sdd_layout(tmp_path):
+    d = tmp_path / "sdd" / "social_pool_data" / "test"
+    d.mkdir(parents=True)
+    (d / "annotations.txt").write_text(
+        "\n".join(_synthetic_sdd_annotations()) + "\n")
+    w = ds.load_benchmark("sdd", str(tmp_path), "test", obs_len=8,
+                          pred_len=12, cache=False)
+    assert len(w) > 0
 
 
 def test_trajnet_loader(tmp_path):
