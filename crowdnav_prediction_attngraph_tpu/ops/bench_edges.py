@@ -59,6 +59,38 @@ def single_device(rows=4096, A=20, D=512, H=8):
     return res
 
 
+def fused_sweep(rows_list=(480, 1920, 7680), A=20, D=512, H=8,
+                strips=(1, 2, 4, 8, 16, 32), iters=20):
+    """Tuning sweep for the fused QKV+MHA+out-proj kernel: logits strip size
+    vs the XLA einsum path at flagship shapes. Run on the real chip to pick
+    the production default (_pick_strip)."""
+    from .masked_attention import (fused_graph_attention,
+                                   reference_fused_graph_attention)
+    rng = np.random.RandomState(0)
+    w_qkv = jnp.asarray(rng.randn(D, 3 * D) / np.sqrt(D), jnp.float32)
+    b_qkv = jnp.asarray(rng.randn(3 * D) * 0.01, jnp.float32)
+    w_out = jnp.asarray(rng.randn(D, D) / np.sqrt(D), jnp.float32)
+    b_out = jnp.asarray(rng.randn(D) * 0.01, jnp.float32)
+    out = {}
+    for rows in rows_list:
+        x = jnp.asarray(rng.randn(rows, A, D) * 0.3, jnp.float32)
+        det = rng.randint(1, A + 1, rows)
+        mask = jnp.asarray(np.arange(A)[None, :] < det[:, None])
+        row = {}
+        f_ref = jax.jit(lambda x, m: reference_fused_graph_attention(
+            x, m, w_qkv, b_qkv, w_out, b_out, H))
+        row["einsum_ms"] = _time(f_ref, (x, mask), iters=iters) * 1e3
+        for g in strips:
+            try:
+                f = jax.jit(lambda x, m, g=g: fused_graph_attention(
+                    x, m, w_qkv, b_qkv, w_out, b_out, H, strip_rows=g))
+                row[f"strip{g}_ms"] = _time(f, (x, mask), iters=iters) * 1e3
+            except Exception as e:
+                row[f"strip{g}_ms"] = f"error: {str(e)[:80]}"
+        out[rows] = row
+    return out
+
+
 def weak_scaling(rows=256, A_base=16, D=256, H=8, max_dev=None):
     from jax.experimental import mesh_utils
     from jax.sharding import Mesh
@@ -89,7 +121,17 @@ def weak_scaling(rows=256, A_base=16, D=256, H=8, max_dev=None):
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--weak-scaling", action="store_true")
+    p.add_argument("--sweep", action="store_true",
+                   help="fused-kernel logits-strip tuning sweep")
     args = p.parse_args()
+    if args.sweep:
+        for rows, row in fused_sweep().items():
+            parts = []
+            for k, v in row.items():
+                parts.append(f"{k} {v:.3f}" if isinstance(v, float) else
+                             f"{k} {v}")
+            print(f"rows={rows}: " + " | ".join(parts))
+        return
     if args.weak_scaling:
         res = weak_scaling()
         for n, r in res.items():
