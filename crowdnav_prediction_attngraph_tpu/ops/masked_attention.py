@@ -218,11 +218,55 @@ def _pick_strip(r_blk: int, a_pad: int) -> int:
     return best
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def _fused_diffable(x, mask, w_qkv, b_qkv, w_out, b_out, static):
+    """custom_vjp wrapper: pallas_call has no automatic autodiff rule, but
+    the PPO update differentiates through the policy's attention. Forward
+    runs the fused kernel; backward rematerializes through the identical-math
+    XLA reference (one extra QKV matmul + the standard attention VJP — the
+    same recompute-in-backward tradeoff as flash attention)."""
+    return _fused_forward(x, mask, w_qkv, b_qkv, w_out, b_out, *static)
+
+
+def _fused_diffable_fwd(x, mask, w_qkv, b_qkv, w_out, b_out, static):
+    out = _fused_forward(x, mask, w_qkv, b_qkv, w_out, b_out, *static)
+    return out, (x, mask, w_qkv, b_qkv, w_out, b_out)
+
+
+def _fused_diffable_bwd(static, res, g):
+    x, mask, w_qkv, b_qkv, w_out, b_out = res
+    num_heads = static[0]
+    _, vjp = jax.vjp(
+        lambda x, wq, bq, wo, bo: reference_fused_graph_attention(
+            x, mask, wq, bq, wo, bo, num_heads),
+        x, w_qkv, b_qkv, w_out, b_out)
+    dx, dwq, dbq, dwo, dbo = vjp(g)
+    import numpy as _np
+    dmask = _np.zeros(mask.shape, dtype=jax.dtypes.float0)
+    return dx, dmask, dwq, dbq, dwo, dbo
+
+
+_fused_diffable.defvjp(_fused_diffable_fwd, _fused_diffable_bwd)
+
+
 def fused_graph_attention(x, mask, w_qkv, b_qkv, w_out, b_out,
                           num_heads: int, r_blk: int | None = None,
                           compute_dtype=jnp.bfloat16,
                           strip_rows: int | None = None,
                           interpret: bool = False):
+    """Differentiable entry point — see _fused_forward for the kernel and
+    _fused_diffable for the VJP story."""
+    static = (num_heads, r_blk,
+              "bf16" if compute_dtype == jnp.bfloat16 else "f32",
+              strip_rows, interpret)
+    return _fused_diffable(x, mask, w_qkv, b_qkv, w_out, b_out, static)
+
+
+def _fused_forward(x, mask, w_qkv, b_qkv, w_out, b_out,
+                   num_heads: int, r_blk: int | None = None,
+                   compute_dtype="bf16",
+                   strip_rows: int | None = None,
+                   interpret: bool = False):
     """End-to-end fused attention block: x @ W_qkv -> per-row masked MHA ->
     out-projection, in ONE Pallas kernel (no HBM round-trips between sub-ops).
 
@@ -243,6 +287,9 @@ def fused_graph_attention(x, mask, w_qkv, b_qkv, w_out, b_out,
     compute_dtype=bfloat16 runs the matmuls on the MXU at 2x f32 rate with
     f32 accumulation; pass float32 for strict-parity runs.
     """
+    if isinstance(compute_dtype, str):
+        compute_dtype = jnp.bfloat16 if compute_dtype == "bf16" \
+            else jnp.float32
     rows, A, D = x.shape
     hd = D // num_heads
     scale = 1.0 / math.sqrt(hd)

@@ -89,6 +89,72 @@ def test_fused_kernel_bf16_close():
     assert err.max() / scale < 2e-2, err.max() / scale
 
 
+def test_fused_kernel_gradients_match_reference():
+    """The PPO update differentiates through the attention: the kernel's
+    custom VJP (rematerialized reference-math backward) must produce the
+    einsum path's gradients for every input."""
+    x, mask, w_qkv, b_qkv, w_out, b_out = _fused_inputs(13, 20, seed=11)
+
+    def loss_ref(x, wq, bq, wo, bo):
+        out = reference_fused_graph_attention(x, mask, wq, bq, wo, bo, 8)
+        return jnp.sum(out ** 2)
+
+    def loss_pal(x, wq, bq, wo, bo):
+        out = fused_graph_attention(x, mask, wq, bq, wo, bo, 8,
+                                    compute_dtype=jnp.float32,
+                                    interpret=True)
+        return jnp.sum(out ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+        x, w_qkv, b_qkv, w_out, b_out)
+    g_pal = jax.grad(loss_pal, argnums=(0, 1, 2, 3, 4))(
+        x, w_qkv, b_qkv, w_out, b_out)
+    for a, b in zip(g_pal, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=5e-3)
+
+
+def test_policy_pallas_path_gradients():
+    """End-to-end: grads of a scalar loss over the policy forward agree
+    between the pallas (f32 interpret) and einsum paths on shared params."""
+    import dataclasses
+    from crowdnav_prediction_attngraph_tpu.config import varnum_config
+    from crowdnav_prediction_attngraph_tpu.models.policy_net import (
+        SelfAttnMergeSRNN, init_hidden)
+
+    base = varnum_config(human_num=6)
+    cfg0 = base.replace(network=dataclasses.replace(
+        base.network, use_pallas_attention=False))
+    cfg1 = base.replace(network=dataclasses.replace(
+        base.network, use_pallas_attention=True, pallas_dtype="float32"))
+
+    N, A, D = 4, cfg0.sim.max_human_num, cfg0.spatial_edge_dim
+    rng = np.random.RandomState(1)
+    obs = {
+        "robot_node": jnp.asarray(rng.randn(1, N, 7), jnp.float32),
+        "temporal_edges": jnp.asarray(rng.randn(1, N, 2), jnp.float32),
+        "spatial_edges": jnp.asarray(rng.randn(1, N, A, D), jnp.float32),
+        "visible_masks": jnp.ones((1, N, A), bool),
+        "detected_human_num": jnp.full((1, N), A, jnp.int32),
+    }
+    hxs = init_hidden(cfg0, N)
+    masks = jnp.ones((1, N))
+    m0, m1 = SelfAttnMergeSRNN(cfg0), SelfAttnMergeSRNN(cfg1)
+    params = m0.init(jax.random.key(0), obs, hxs, masks)
+
+    def loss(m):
+        def f(p):
+            value, _, _ = m.apply(p, obs, hxs, masks)
+            return jnp.sum(value ** 2)
+        return f
+
+    g0 = jax.grad(loss(m0))(params)
+    g1 = jax.grad(loss(m1))(params)
+    for a, b in zip(jax.tree.leaves(g0), jax.tree.leaves(g1)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-3, atol=1e-3)
+
+
 def test_fused_mask_isolation():
     x, mask0, w_qkv, b_qkv, w_out, b_out = _fused_inputs(8, 8, seed=1)
     mask = jnp.asarray(np.arange(8)[None, :] < 4).repeat(8, 0)
