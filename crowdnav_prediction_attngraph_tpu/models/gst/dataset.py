@@ -245,15 +245,23 @@ def reference_windows(records: np.ndarray, obs_len: int = 8,
         widest = max(p.shape[1] for p, _ in raw)
         max_peds = int(np.ceil(widest / 8) * 8)
     windows = []
+    skipped = 0
     for pos, present in raw:
         P0 = pos.shape[1]
         if P0 > max_peds:
+            skipped += 1
             continue
         pos_p = np.zeros((seq_len, max_peds, 2), np.float32)
         pres_p = np.zeros((seq_len, max_peds), np.float32)
         pos_p[:, :P0] = pos
         pres_p[:, :P0] = present
         windows.append(_window_arrays(pos_p, pres_p, obs_len, pred_len))
+    if skipped:
+        # never filter a benchmark split silently (univ/sdd scenes routinely
+        # exceed 32 peds) — metrics on a subset are not comparable
+        import sys
+        print(f"WARNING: dropped {skipped}/{len(raw)} windows whose ped "
+              f"count exceeds max_peds={max_peds}", file=sys.stderr)
     return windows
 
 
@@ -395,9 +403,11 @@ def load_benchmark(dataset: str, data_root: str, split: str = "test",
 
     # window geometry is part of the cache key — a stale cache built at a
     # different obs/pred split would silently mismatch the eval config
+    mp_tag = "all" if max_peds is None else str(max_peds)
     cache_path = os.path.join(
         data_dir,
-        f"{dataset}_dset_{split}_o{obs_len}p{pred_len}s{skip}_windows.npz")
+        f"{dataset}_dset_{split}_o{obs_len}p{pred_len}s{skip}"
+        f"mp{mp_tag}_windows.npz")
     if cache and os.path.exists(cache_path):
         z = np.load(cache_path)
         n = int(z["n"])

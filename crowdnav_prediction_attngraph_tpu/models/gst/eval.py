@@ -96,32 +96,43 @@ def evaluate_dataset(cfg: PredConfig, params, windows, batch_size: int = 16,
         # per-window mean (the reference iterates at batch_size 1)
         return {"loss": float(np.average(losses, weights=weights)),
                 "aoe": aoe_sum / d, "foe": foe_sum / d}
-    # test: num_samples stochastic rollouts per batch (eval.py:84-117)
+    # test: num_samples stochastic rollouts, min/std taken across samples
+    # PER WINDOW (the reference iterates at batch_size 1, so its per-batch
+    # aoe.sum(1) -> mean/std/min over the 20 samples is a per-scene best-of-20
+    # statistic, summed over the split and normalized by the split's mask sum,
+    # eval.py:84-117, 149-157)
     sampling = not deterministic_loss
-    aoe_s = np.zeros(num_samples)
-    foe_s = np.zeros(num_samples)
+    aoe_cols, foe_cols = [], []          # each (num_samples, B) per batch
     for i, batch in enumerate(ds.batches(windows, batch_size, rng,
                                          shuffle=False, drop_last=False)):
         batch = jax.tree.map(jnp.asarray, batch)
         key = jax.random.key(1000 + i)
+        B = batch["v"].shape[0]
         batch_losses = []
+        aoe_sw = np.zeros((num_samples, B))
+        foe_sw = np.zeros((num_samples, B))
         for s in range(num_samples):
             loss, aoe, foe, full = fwd(params, batch,
                                        jax.random.fold_in(key, s),
                                        True, sampling)
             batch_losses.append(float(loss))
-            aoe_s[s] += float(jnp.sum(aoe))
-            foe_s[s] += float(jnp.sum(foe))
+            aoe_sw[s] = np.asarray(jnp.sum(aoe, axis=1))   # ped-summed / window
+            foe_sw[s] = np.asarray(jnp.sum(foe, axis=1))
+        aoe_cols.append(aoe_sw)
+        foe_cols.append(foe_sw)
         losses.append(float(np.mean(batch_losses)))
-        weights.append(batch["v"].shape[0])
+        weights.append(B)
         mask_sum += float(jnp.sum(full))
+    aoe_sw = np.concatenate(aoe_cols, axis=1)              # (S, num_windows)
+    foe_sw = np.concatenate(foe_cols, axis=1)
     d = max(mask_sum, 1.0)
     return {"loss": float(np.average(losses, weights=weights)),
-            "aoe": float(np.mean(aoe_s)) / d, "foe": float(np.mean(foe_s)) / d,
-            "aoe_std": float(np.std(aoe_s, ddof=1)) / d,
-            "foe_std": float(np.std(foe_s, ddof=1)) / d,
-            "aoe_min": float(np.min(aoe_s)) / d,
-            "foe_min": float(np.min(foe_s)) / d}
+            "aoe": float(aoe_sw.mean(axis=0).sum()) / d,
+            "foe": float(foe_sw.mean(axis=0).sum()) / d,
+            "aoe_std": float(aoe_sw.std(axis=0, ddof=1).sum()) / d,
+            "foe_std": float(foe_sw.std(axis=0, ddof=1).sum()) / d,
+            "aoe_min": float(aoe_sw.min(axis=0).sum()) / d,
+            "foe_min": float(foe_sw.min(axis=0).sum()) / d}
 
 
 def main(argv=None):
@@ -142,7 +153,11 @@ def main(argv=None):
                    help="orbax checkpoint dir saved by the trainer")
     p.add_argument("--torch-ckpt", default=None,
                    help="reference epoch_*.pt to import instead")
-    p.add_argument("--max-peds", type=int, default=32)
+    p.add_argument("--max-peds", type=int, default=None,
+                   help="cap on pedestrians per window; default: no cap for "
+                        "--dataset benchmarks (a cap silently filters "
+                        "crowded univ/sdd scenes), 32 for --data-dir "
+                        "training dumps (matching the trainer)")
     p.add_argument("--edge-heads", type=int, default=0)
     p.add_argument("--deterministic", action="store_true")
     args = p.parse_args(argv)
@@ -162,7 +177,9 @@ def main(argv=None):
     elif args.data_dir:
         sub = os.path.join(args.data_dir, args.split)
         windows = ds.load_dataset(sub if os.path.isdir(sub) else args.data_dir,
-                                  obs_len, pred_len, args.max_peds)
+                                  obs_len, pred_len,
+                                  32 if args.max_peds is None
+                                  else args.max_peds)
         name = args.data_dir
     else:
         raise SystemExit("provide --dataset or --data-dir")

@@ -124,17 +124,23 @@ def packed_masked_attention(q, k, v, mask, num_heads: int,
     return out[:rows, :A]
 
 
-def _pick_packing(A: int, r_blk_hint: int = 32,
+def _pick_packing(A: int, r_blk_hint: int | None = None,
                   max_tokens: int = 1024) -> tuple[int, int]:
     """Choose (r_blk, a_pad) so the packed token count n = r_blk * a_pad is
     lane-aligned (multiple of 128) with minimal padding waste.
 
     For the flagship A=20 this returns (32, 20): n=640, ZERO padded tokens —
     every projection FLOP is useful (the previous scheme padded 20 -> 32,
-    wasting 37% of the dominant QKV/out-proj matmul work)."""
+    wasting 37% of the dominant QKV/out-proj matmul work).
+
+    With an explicit ``r_blk_hint`` (caller pinned the row-block size) only
+    the agent padding is searched, preserving the n % 128 lane-alignment
+    invariant of the mask BlockSpec — previously the hint was ignored and a
+    pinned r_blk could yield a misaligned n on the compiled TPU path."""
+    r_blks = (64, 32, 16, 8) if r_blk_hint is None else (r_blk_hint,)
     best = None
-    for a_pad in range(A, A + 13):
-        for r_blk in (64, 32, 16, 8):
+    for a_pad in range(A, A + 128):
+        for r_blk in r_blks:
             n = r_blk * a_pad
             if n % 128 == 0 and n <= max_tokens:
                 waste = (a_pad - A) * r_blk
@@ -143,7 +149,7 @@ def _pick_packing(A: int, r_blk_hint: int = 32,
                     best = (waste, r_blk, a_pad)
     if best is None:  # tiny fallback: lane-pad the agent axis
         a_pad = ((A + 127) // 128) * 128
-        return 8, a_pad
+        return (r_blk_hint or 8), a_pad
     return best[1], best[2]
 
 
@@ -222,9 +228,13 @@ def _pick_strip(r_blk: int, a_pad: int) -> int:
 def _fused_diffable(x, mask, w_qkv, b_qkv, w_out, b_out, static):
     """custom_vjp wrapper: pallas_call has no automatic autodiff rule, but
     the PPO update differentiates through the policy's attention. Forward
-    runs the fused kernel; backward rematerializes through the identical-math
-    XLA reference (one extra QKV matmul + the standard attention VJP — the
-    same recompute-in-backward tradeoff as flash attention)."""
+    runs the fused kernel; backward runs the fused Pallas BACKWARD kernel
+    (_fused_backward): flash-style recompute of the block-diagonal softmax
+    plus all five gradients (dx, dW_qkv, db_qkv, dW_out, db_out) in one
+    VMEM-resident pass, with the weight gradients accumulated across grid
+    steps. Gradients are gradients OF THE EXECUTED forward (same compute
+    dtype), unlike the round-2 scheme that rematerialized the f32 XLA
+    reference and cost a full extra forward per gradient step."""
     return _fused_forward(x, mask, w_qkv, b_qkv, w_out, b_out, *static)
 
 
@@ -235,18 +245,186 @@ def _fused_diffable_fwd(x, mask, w_qkv, b_qkv, w_out, b_out, static):
 
 def _fused_diffable_bwd(static, res, g):
     x, mask, w_qkv, b_qkv, w_out, b_out = res
-    num_heads = static[0]
-    _, vjp = jax.vjp(
-        lambda x, wq, bq, wo, bo: reference_fused_graph_attention(
-            x, mask, wq, bq, wo, bo, num_heads),
-        x, w_qkv, b_qkv, w_out, b_out)
-    dx, dwq, dbq, dwo, dbo = vjp(g)
+    grads = _fused_backward(x, mask, w_qkv, b_qkv, w_out, b_out, g, *static)
+    dx, dwq, dbq, dwo, dbo = grads
     import numpy as _np
     dmask = _np.zeros(mask.shape, dtype=jax.dtypes.float0)
     return dx, dmask, dwq, dbq, dwo, dbo
 
 
 _fused_diffable.defvjp(_fused_diffable_fwd, _fused_diffable_bwd)
+
+
+def _bwd_kernel(x_ref, mask_ref, g_ref, wqkv_ref, wo_ref, bqkv_ref,
+                dx_ref, dwqkv_ref, dbqkv_ref, dwo_ref, dbo_ref,
+                *, a_pad: int, r_blk: int, hd: int, num_heads: int,
+                scale: float, compute_dtype, strip_rows: int):
+    """Backward of _fused_kernel for one block of n = r_blk * a_pad packed
+    tokens: recompute QKV + the block-diagonal softmax (flash-style remat —
+    cheaper than saving the (m, m) probabilities to HBM), then produce
+    dx for this block and accumulate the weight/bias gradients across grid
+    steps into constant-index-map output blocks (sequential TPU grid)."""
+    n = r_blk * a_pad
+    D = x_ref.shape[-1]
+    cd = compute_dtype
+    x = x_ref[:].astype(cd)
+    wqkv = wqkv_ref[:].astype(cd)
+    qkv = jnp.dot(x, wqkv, preferred_element_type=jnp.float32) + bqkv_ref[0]
+    q = qkv[:, :D] * scale
+    k = qkv[:, D:2 * D]
+    v = qkv[:, 2 * D:]
+    g = g_ref[:]                                                 # (n, D) f32
+
+    wo = wo_ref[:].astype(cd)
+    # dattn = g @ Wo^T (out-proj backward), needed per strip below
+    dattn = jnp.dot(g.astype(cd), wo.T, preferred_element_type=jnp.float32)
+
+    gmask = strip_rows
+    num_strips = r_blk // gmask
+    m = gmask * a_pad
+    row_i = jax.lax.broadcasted_iota(jnp.int32, (m, m), 0) // a_pad
+    row_j = jax.lax.broadcasted_iota(jnp.int32, (m, m), 1) // a_pad
+    same_row = row_i == row_j
+    key_valid = mask_ref[0, 0:1, :]                              # (1, n)
+
+    attn_strips, dq_strips, dk_strips, dv_strips = [], [], [], []
+    for s_i in range(num_strips):
+        lo = s_i * m
+        ok = same_row & (key_valid[:, lo:lo + m] > 0)
+        bias = jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
+        a_heads, dq_heads, dk_heads, dv_heads = [], [], [], []
+        for h in range(num_heads):
+            sl = slice(h * hd, (h + 1) * hd)
+            qh = q[lo:lo + m, sl].astype(cd)
+            kh = k[lo:lo + m, sl].astype(cd)
+            vh = v[lo:lo + m, sl].astype(cd)
+            s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
+            s = s + bias
+            s = s - jnp.max(s, axis=-1, keepdims=True)
+            p = jnp.exp(s)
+            p = p / jnp.sum(p, axis=-1, keepdims=True)           # (m, m) f32
+            a_heads.append(jnp.dot(p.astype(cd), vh,
+                                   preferred_element_type=jnp.float32))
+            da = dattn[lo:lo + m, sl].astype(cd)                 # (m, hd)
+            dv_heads.append(jnp.dot(p.astype(cd).T, da,
+                                    preferred_element_type=jnp.float32))
+            dp = jnp.dot(da, vh.T, preferred_element_type=jnp.float32)
+            ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
+            dsc = ds.astype(cd)
+            # q was pre-scaled: s = (q*scale) k^T, so d(qkv_q) gets *scale
+            dq_heads.append(jnp.dot(dsc, kh,
+                                    preferred_element_type=jnp.float32)
+                            * scale)
+            dk_heads.append(jnp.dot(dsc.T, qh,
+                                    preferred_element_type=jnp.float32))
+        attn_strips.append(jnp.concatenate(a_heads, axis=-1))
+        dq_strips.append(jnp.concatenate(dq_heads, axis=-1))
+        dk_strips.append(jnp.concatenate(dk_heads, axis=-1))
+        dv_strips.append(jnp.concatenate(dv_heads, axis=-1))
+
+    attn = jnp.concatenate(attn_strips, axis=0).astype(cd)       # (n, D)
+    dqkv = jnp.concatenate(
+        [jnp.concatenate(dq_strips, axis=0),
+         jnp.concatenate(dk_strips, axis=0),
+         jnp.concatenate(dv_strips, axis=0)], axis=1)            # (n, 3D) f32
+
+    dx_ref[:] = jnp.dot(dqkv.astype(cd), wqkv.T,
+                        preferred_element_type=jnp.float32)
+
+    # weight/bias grads accumulate across the sequential grid
+    dwqkv_blk = jnp.dot(x.T, dqkv.astype(cd),
+                        preferred_element_type=jnp.float32)
+    dbqkv_blk = jnp.sum(dqkv, axis=0, keepdims=True)
+    dwo_blk = jnp.dot(attn.T, g.astype(cd),
+                      preferred_element_type=jnp.float32)
+    dbo_blk = jnp.sum(g, axis=0, keepdims=True)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dwqkv_ref[:] = dwqkv_blk
+        dbqkv_ref[:] = dbqkv_blk
+        dwo_ref[:] = dwo_blk
+        dbo_ref[:] = dbo_blk
+
+    @pl.when(pl.program_id(0) != 0)
+    def _acc():
+        dwqkv_ref[:] += dwqkv_blk
+        dbqkv_ref[:] += dbqkv_blk
+        dwo_ref[:] += dwo_blk
+        dbo_ref[:] += dbo_blk
+
+
+def _fused_backward(x, mask, w_qkv, b_qkv, w_out, b_out, g,
+                    num_heads: int, r_blk: int | None = None,
+                    compute_dtype="bf16",
+                    strip_rows: int | None = None,
+                    interpret: bool = False):
+    """Packed backward pass matching _fused_forward's blocking. Returns
+    (dx, dW_qkv, db_qkv, dW_out, db_out)."""
+    if isinstance(compute_dtype, str):
+        compute_dtype = jnp.bfloat16 if compute_dtype == "bf16" \
+            else jnp.float32
+    rows, A, D = x.shape
+    hd = D // num_heads
+    scale = 1.0 / math.sqrt(hd)
+
+    if r_blk is None:
+        r_blk, a_pad = _pick_packing(A)
+    else:
+        _, a_pad = _pick_packing(A, r_blk)
+    if strip_rows is None:
+        strip_rows = _pick_strip(r_blk, a_pad)
+    rows_pad = ((rows + r_blk - 1) // r_blk) * r_blk
+    n = r_blk * a_pad
+    num_blocks = rows_pad // r_blk
+
+    xp = jnp.pad(x, ((0, rows_pad - rows), (0, a_pad - A), (0, 0)))
+    xp = xp.reshape(rows_pad * a_pad, D)
+    gp = jnp.pad(g.astype(jnp.float32),
+                 ((0, rows_pad - rows), (0, a_pad - A), (0, 0)))
+    gp = gp.reshape(rows_pad * a_pad, D)
+    mask_p = jnp.pad(mask.astype(jnp.int32),
+                     ((0, rows_pad - rows), (0, a_pad - A)))
+    mask_p = jnp.broadcast_to(mask_p.reshape(num_blocks, 1, n),
+                              (num_blocks, 8, n))
+
+    full = lambda shape: pl.BlockSpec(shape, lambda r: (0,) * len(shape),
+                                      memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((rows_pad * a_pad, D), jnp.float32),   # dx
+        jax.ShapeDtypeStruct((D, 3 * D), jnp.float32),              # dWqkv
+        jax.ShapeDtypeStruct((1, 3 * D), jnp.float32),              # dbqkv
+        jax.ShapeDtypeStruct((D, D), jnp.float32),                  # dWo
+        jax.ShapeDtypeStruct((1, D), jnp.float32),                  # dbo
+    )
+    dx, dwq, dbq, dwo, dbo = pl.pallas_call(
+        functools.partial(_bwd_kernel, a_pad=a_pad, r_blk=r_blk, hd=hd,
+                          num_heads=num_heads, scale=scale,
+                          compute_dtype=compute_dtype,
+                          strip_rows=strip_rows),
+        out_shape=out_shapes,
+        grid=(num_blocks,),
+        in_specs=[
+            pl.BlockSpec((n, D), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 8, n), lambda r: (r, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((n, D), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            full((D, 3 * D)),
+            full((D, D)),
+            full((1, 3 * D)),
+        ],
+        out_specs=(
+            pl.BlockSpec((n, D), lambda r: (r, 0), memory_space=pltpu.VMEM),
+            full((D, 3 * D)),
+            full((1, 3 * D)),
+            full((D, D)),
+            full((1, D)),
+        ),
+        interpret=interpret,
+    )(xp, mask_p, gp, w_qkv, w_out, b_qkv.reshape(1, -1))
+
+    dx = dx.reshape(rows_pad, a_pad, D)[:rows, :A]
+    return dx, dwq, dbq.reshape(-1), dwo, dbo.reshape(-1)
 
 
 def fused_graph_attention(x, mask, w_qkv, b_qkv, w_out, b_out,
@@ -302,6 +480,8 @@ def _fused_forward(x, mask, w_qkv, b_qkv, w_out, b_out,
         strip_rows = _pick_strip(r_blk, a_pad)
     rows_pad = ((rows + r_blk - 1) // r_blk) * r_blk
     n = r_blk * a_pad
+    assert n % 128 == 0, \
+        f"packed token count {n} = {r_blk} x {a_pad} breaks lane alignment"
     num_blocks = rows_pad // r_blk
 
     xp = jnp.pad(x, ((0, rows_pad - rows), (0, a_pad - A), (0, 0)))

@@ -95,7 +95,7 @@ def test_load_benchmark_layout_and_cache(tmp_path):
     w1 = ds.load_benchmark("eth", str(tmp_path), "test",
                            obs_len=5, pred_len=5)
     assert len(w1) > 0
-    assert (d / "eth_dset_test_o5p5s1_windows.npz").exists()
+    assert (d / "eth_dset_test_o5p5s1mpall_windows.npz").exists()
     w2 = ds.load_benchmark("eth", str(tmp_path), "test",
                            obs_len=5, pred_len=5)  # cache hit
     assert len(w2) == len(w1)

@@ -216,3 +216,50 @@ def test_mask_isolation():
     v1 = v0.at[:, 4:].set(1e6)
     out1 = packed_masked_attention(q, k, v1, mask, H, interpret=True)
     np.testing.assert_allclose(np.asarray(out0), np.asarray(out1), atol=1e-5)
+
+
+@pytest.mark.parametrize("rows,A,r_blk", [(13, 20, None), (33, 20, 16)])
+def test_fused_backward_matches_reference_grads(rows, A, r_blk):
+    """The Pallas backward kernel (_fused_backward) produces the gradients
+    of the executed forward: all five grads (dx, dW_qkv, db_qkv, dW_out,
+    db_out) allclose vs jax.grad through the XLA reference."""
+    x, mask, w_qkv, b_qkv, w_out, b_out = _fused_inputs(rows, A, seed=3)
+
+    def loss_fused(x, wq, bq, wo, bo):
+        out = fused_graph_attention(x, mask, wq, bq, wo, bo, 8,
+                                    r_blk=r_blk, compute_dtype=jnp.float32,
+                                    interpret=True)
+        return jnp.sum(out * jnp.cos(out * 0.1))
+
+    def loss_ref(x, wq, bq, wo, bo):
+        out = reference_fused_graph_attention(x, mask, wq, bq, wo, bo, 8)
+        return jnp.sum(out * jnp.cos(out * 0.1))
+
+    g_fused = jax.grad(loss_fused, argnums=(0, 1, 2, 3, 4))(
+        x, w_qkv, b_qkv, w_out, b_out)
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2, 3, 4))(
+        x, w_qkv, b_qkv, w_out, b_out)
+    for got, ref, name in zip(g_fused, g_ref,
+                              ("dx", "dWqkv", "dbqkv", "dWo", "dbo")):
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(ref), atol=5e-3,
+            rtol=1e-3, err_msg=name)
+
+
+def test_fused_backward_value_and_grad_jit():
+    """value_and_grad through the fused op under jit (the PPO-update path)."""
+    x, mask, w_qkv, b_qkv, w_out, b_out = _fused_inputs(16, 20, seed=11)
+
+    @jax.jit
+    def f(x):
+        out = fused_graph_attention(x, mask, w_qkv, b_qkv, w_out, b_out, 8,
+                                    compute_dtype=jnp.float32,
+                                    interpret=True)
+        return jnp.mean(out ** 2)
+
+    val, grad = jax.value_and_grad(f)(x)
+    assert np.isfinite(float(val))
+    assert np.all(np.isfinite(np.asarray(grad)))
+    ref_val = jnp.mean(reference_fused_graph_attention(
+        x, mask, w_qkv, b_qkv, w_out, b_out, 8) ** 2)
+    np.testing.assert_allclose(float(val), float(ref_val), rtol=2e-4)
