@@ -107,7 +107,13 @@ def main(argv=None):
                    help="checkpoint directory to resume from")
     p.add_argument("--eval-interval", type=int, default=0,
                    help="run a deterministic eval every N updates (0 = off)")
-    p.add_argument("--eval-size", type=int, default=50)
+    p.add_argument("--eval-size", type=int, default=500,
+                   help="episodes per in-loop val eval; the full 500-case "
+                        "suite by default — a 100-episode val success "
+                        "oscillates +-3-4 pts between evals, making "
+                        "best-val checkpoint selection luck-sensitive "
+                        "(VERDICT r2 item 6); the vectorized suite costs "
+                        "seconds, so use the whole thing")
     p.add_argument("--multihost", action="store_true",
                    help="jax.distributed multi-host training: same command "
                         "on every host; env batch shards over the global "
