@@ -58,34 +58,61 @@ def _time(f, *args, iters=20):
 
 def bench_edges(rows: int, A: int = 20, D: int = 512, H: int = 8,
                 iters: int = 20):
-    """edges/s + MFU of the human-human attention encoder at flagship shapes
-    (rows = T*N of the PPO update path, A = max_human_num, D = attn width).
-    Counts one edge per (row, i, j) agent pair, the BASELINE.json metric."""
+    """edges/s + MFU of the PRODUCTION attention block — the fully fused
+    fused_graph_attention (QKV projection + block-diagonal masked MHA + out
+    projection in one Pallas kernel), forward AND forward+backward, plus the
+    XLA einsum reference for comparison (rows = T*N of the PPO update path,
+    A = max_human_num, D = attn width). One edge per (row, i, j) agent pair,
+    the BASELINE.json metric. MFU counts the FLOPs that actually dominate:
+    the 8*A*D^2 projection FLOPs per row plus the 4*A^2*D attention FLOPs;
+    fwd+bwd counts 3x (one forward + two backward matmuls per forward
+    matmul, the standard convention) even though the backward also pays a
+    flash-style recompute."""
     from crowdnav_prediction_attngraph_tpu.ops.masked_attention import (
-        packed_masked_attention, reference_masked_attention)
+        fused_graph_attention, reference_fused_graph_attention)
     rng = np.random.RandomState(0)
-    mk = lambda: jnp.asarray(rng.randn(rows, A, D), jnp.float32)
-    q, k, v = mk(), mk(), mk()
+    x = jnp.asarray(rng.randn(rows, A, D) * 0.3, jnp.float32)
+    w_qkv = jnp.asarray(rng.randn(D, 3 * D) / np.sqrt(D), jnp.float32)
+    b_qkv = jnp.asarray(rng.randn(3 * D) * 0.01, jnp.float32)
+    w_out = jnp.asarray(rng.randn(D, D) / np.sqrt(D), jnp.float32)
+    b_out = jnp.asarray(rng.randn(D) * 0.01, jnp.float32)
     det = rng.randint(1, A + 1, rows)
     mask = jnp.asarray(np.arange(A)[None, :] < det[:, None])
     edges = rows * A * A
-    # attention-stack FLOPs: logits + weighted value (QKV/out projections are
-    # not part of this microbench's inputs)
-    attn_flops = 2 * 2 * rows * A * A * D
+    flops_fwd = 8 * rows * A * D * D + 4 * rows * A * A * D
+    peak = _peak_flops()
     out = {}
-    f_ref = jax.jit(lambda *a: reference_masked_attention(*a, H))
-    dt = _time(f_ref, q, k, v, mask, iters=iters)
+
+    f_ref = jax.jit(lambda x: reference_fused_graph_attention(
+        x, mask, w_qkv, b_qkv, w_out, b_out, H))
+    dt = _time(f_ref, x, iters=iters)
     out["edges_per_s_einsum"] = edges / dt
-    out["attn_mfu_einsum"] = attn_flops / dt / _peak_flops()
+    out["fused_mfu_einsum_fwd"] = flops_fwd / dt / peak
+
+    g_ref = jax.jit(jax.grad(lambda x, wq, bq, wo, bo: jnp.sum(
+        reference_fused_graph_attention(x, mask, wq, bq, wo, bo, H) ** 2),
+        argnums=(0, 1, 2, 3, 4)))
+    dt = _time(g_ref, x, w_qkv, b_qkv, w_out, b_out, iters=iters)
+    out["edges_per_s_einsum_fwdbwd"] = edges / dt
+    out["fused_mfu_einsum_fwdbwd"] = 3 * flops_fwd / dt / peak
+
     try:
-        f_pal = jax.jit(lambda *a: packed_masked_attention(*a, H))
-        dt_p = _time(f_pal, q, k, v, mask, iters=iters)
-        out["edges_per_s_pallas"] = edges / dt_p
-        out["attn_mfu_pallas"] = attn_flops / dt_p / _peak_flops()
+        f_pal = jax.jit(lambda x: fused_graph_attention(
+            x, mask, w_qkv, b_qkv, w_out, b_out, H))
+        dt = _time(f_pal, x, iters=iters)
+        out["edges_per_s_fused"] = edges / dt
+        out["fused_mfu_fwd"] = flops_fwd / dt / peak
+
+        g_pal = jax.jit(jax.grad(lambda x, wq, bq, wo, bo: jnp.sum(
+            fused_graph_attention(x, mask, wq, bq, wo, bo, H) ** 2),
+            argnums=(0, 1, 2, 3, 4)))
+        dt = _time(g_pal, x, w_qkv, b_qkv, w_out, b_out, iters=iters)
+        out["edges_per_s_fused_fwdbwd"] = edges / dt
+        out["fused_mfu_fwdbwd"] = 3 * flops_fwd / dt / peak
     except Exception as e:
         out["pallas_error"] = str(e)[:120]
     out["edges_per_s"] = max(out["edges_per_s_einsum"],
-                             out.get("edges_per_s_pallas", 0.0))
+                             out.get("edges_per_s_fused", 0.0))
     return out
 
 
@@ -148,10 +175,16 @@ def main():
         pass
 
     # north-star kernel metric at the flagship update-path shape
-    # (rows = num_steps * 64 envs of the reference-recipe minibatch)
+    # (rows = num_steps * 64 envs of the reference-recipe minibatch), with
+    # a rollout-scale and a large-batch point alongside
     edges = bench_edges(rows=1920, A=cfg.sim.max_human_num)
     for k, v in edges.items():
         extra[k] = round(v, 5) if isinstance(v, float) else v
+    for rows in (480, 7680):
+        e = bench_edges(rows=rows, A=cfg.sim.max_human_num, iters=10)
+        extra[f"edges_rows{rows}"] = {
+            k: round(v, 5) if isinstance(v, float) else v
+            for k, v in e.items()}
 
     print(json.dumps({
         "metric": "ppo_env_steps_per_s",

@@ -212,6 +212,12 @@ class NetworkConfig:
     # "float32") for strict-parity runs.
     use_pallas_attention: bool = True
     pallas_dtype: str = "bfloat16"    # "float32" for strict parity
+    # "all": fused kernel in rollout AND the PPO update (the update uses the
+    # fused Pallas backward); "rollout": kernel only where no gradients flow
+    # (act/get_value) with the XLA einsum path inside ppo_update — the
+    # fallback if the backward kernel ever loses a train-step A/B on new
+    # hardware (scripts/ab_pallas.py measures both)
+    pallas_scope: str = "all"
     # shard the human-human attention's agent axis over the mesh 'tp' axis
     # (parallel/edge_partition.py ring attention + ppermute halo exchange);
     # requires the train step to run under jax.set_mesh(mesh). New capability

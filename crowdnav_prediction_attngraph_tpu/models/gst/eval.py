@@ -160,6 +160,12 @@ def main(argv=None):
                         "training dumps (matching the trainer)")
     p.add_argument("--edge-heads", type=int, default=0)
     p.add_argument("--deterministic", action="store_true")
+    p.add_argument("--stride", type=int, default=1,
+                   help="window stride for --data-dir dumps (collect_data "
+                        "streams are dense; the trainer subsamples the same "
+                        "way)")
+    p.add_argument("--max-windows", type=int, default=0)
+    p.add_argument("--batch-size", type=int, default=16)
     args = p.parse_args(argv)
 
     cfg = PredConfig(spatial_num_heads_edges=args.edge_heads)
@@ -179,7 +185,10 @@ def main(argv=None):
         windows = ds.load_dataset(sub if os.path.isdir(sub) else args.data_dir,
                                   obs_len, pred_len,
                                   32 if args.max_peds is None
-                                  else args.max_peds)
+                                  else args.max_peds,
+                                  stride=args.stride)
+        if args.max_windows and len(windows) > args.max_windows:
+            windows = windows[:args.max_windows]
         name = args.data_dir
     else:
         raise SystemExit("provide --dataset or --data-dir")
@@ -212,7 +221,8 @@ def main(argv=None):
         raise SystemExit("provide --ckpt or --torch-ckpt")
 
     mode = args.mode or ("test" if args.split == "test" else "val")
-    m = evaluate_dataset(cfg, params, windows, mode=mode,
+    m = evaluate_dataset(cfg, params, windows, batch_size=args.batch_size,
+                         mode=mode,
                          num_samples=args.num_samples,
                          deterministic_loss=args.deterministic)
     if stored:

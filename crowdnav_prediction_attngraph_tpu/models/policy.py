@@ -39,6 +39,19 @@ def make_policy(cfg: Config) -> PolicyHead:
     return PolicyHead(cfg)
 
 
+def _update_cfg(cfg: Config) -> Config:
+    """Config for gradient-path forwards: with pallas_scope='rollout' the
+    fused kernel is scoped to inference and the PPO update runs the XLA
+    einsum path (identical math, identical param tree — the pallas branch
+    materializes the same Dense params)."""
+    net = cfg.network
+    if net.use_pallas_attention and \
+            getattr(net, "pallas_scope", "all") == "rollout":
+        cfg = cfg.replace(network=net.__class__(
+            **{**net.__dict__, "use_pallas_attention": False}))
+    return cfg
+
+
 def init_params(cfg: Config, key, example_obs: Dict[str, jnp.ndarray]):
     """Initialize parameters from a [N, ...] observation dict."""
     model = make_policy(cfg)
@@ -76,7 +89,7 @@ def evaluate_actions(cfg: Config, params, obs: Dict[str, jnp.ndarray], rnn_h,
                      masks, actions):
     """Training-time forward over [T, N, ...] (model.py:82-90).
     Returns (values [T,N,1], log_probs [T,N,1], entropy scalar)."""
-    model = make_policy(cfg)
+    model = make_policy(_update_cfg(cfg))
     value, mean, logstd, _ = model.apply(params, obs, rnn_h, masks)
     log_probs = distributions.log_prob(mean, logstd, actions)
     entropy = jnp.mean(distributions.entropy(logstd))

@@ -15,11 +15,20 @@ Usage:
 from __future__ import annotations
 
 import argparse
+import os
 import time
 
 import numpy as np
 
 import jax
+
+# honor JAX_PLATFORMS despite the container's pre-registered axon TPU plugin
+# (whose registration otherwise wins over the env var) — without this the
+# --weak-scaling virtual-mesh run silently sees 1 TPU device and stops at n=1
+_want = os.environ.get("JAX_PLATFORMS")
+if _want and "axon" not in _want:
+    jax.config.update("jax_platforms", _want)
+
 import jax.numpy as jnp
 
 

@@ -263,21 +263,19 @@ def _bwd_kernel(x_ref, mask_ref, g_ref, wqkv_ref, wo_ref, bqkv_ref,
     tokens: recompute QKV + the block-diagonal softmax (flash-style remat —
     cheaper than saving the (m, m) probabilities to HBM), then produce
     dx for this block and accumulate the weight/bias gradients across grid
-    steps into constant-index-map output blocks (sequential TPU grid)."""
-    n = r_blk * a_pad
+    steps into constant-index-map output blocks (sequential TPU grid).
+
+    VMEM discipline: everything is computed PER STRIP of m = strip_rows *
+    a_pad tokens — attention is block-diagonal, so strip s only ever needs
+    tokens [s*m, (s+1)*m) of x/qkv/g/dqkv. No (n, 3D) qkv or dqkv buffer is
+    ever materialized (a full-block variant blew the 16 MB scoped-vmem
+    limit by 3.7 MB at n=640); x and the weights arrive pre-cast to the
+    compute dtype from the wrapper."""
     D = x_ref.shape[-1]
     cd = compute_dtype
-    x = x_ref[:].astype(cd)
-    wqkv = wqkv_ref[:].astype(cd)
-    qkv = jnp.dot(x, wqkv, preferred_element_type=jnp.float32) + bqkv_ref[0]
-    q = qkv[:, :D] * scale
-    k = qkv[:, D:2 * D]
-    v = qkv[:, 2 * D:]
-    g = g_ref[:]                                                 # (n, D) f32
-
-    wo = wo_ref[:].astype(cd)
-    # dattn = g @ Wo^T (out-proj backward), needed per strip below
-    dattn = jnp.dot(g.astype(cd), wo.T, preferred_element_type=jnp.float32)
+    wqkv = wqkv_ref[:]                                  # (D, 3D) cd
+    wo = wo_ref[:]                                      # (D, D) cd
+    bqkv = bqkv_ref[0]                                  # (3D,) f32
 
     gmask = strip_rows
     num_strips = r_blk // gmask
@@ -287,26 +285,45 @@ def _bwd_kernel(x_ref, mask_ref, g_ref, wqkv_ref, wo_ref, bqkv_ref,
     same_row = row_i == row_j
     key_valid = mask_ref[0, 0:1, :]                              # (1, n)
 
-    attn_strips, dq_strips, dk_strips, dv_strips = [], [], [], []
+    # accumulate straight into the constant-index-map output refs — a
+    # kernel-local (D, 3D) accumulator would double the largest buffer and
+    # blow the 16 MB scoped-vmem budget again
+    @pl.when(pl.program_id(0) == 0)
+    def _zero():
+        dwqkv_ref[:] = jnp.zeros_like(dwqkv_ref)
+        dbqkv_ref[:] = jnp.zeros_like(dbqkv_ref)
+        dwo_ref[:] = jnp.zeros_like(dwo_ref)
+        dbo_ref[:] = jnp.zeros_like(dbo_ref)
+
     for s_i in range(num_strips):
         lo = s_i * m
+        xs = x_ref[lo:lo + m, :]                        # (m, D) cd
+        gs = g_ref[lo:lo + m, :]                        # (m, D) f32
+        qkv = jnp.dot(xs, wqkv, preferred_element_type=jnp.float32) + bqkv
+        q = qkv[:, :D] * scale
+        k = qkv[:, D:2 * D]
+        v = qkv[:, 2 * D:]
+        dattn = jnp.dot(gs.astype(cd), wo.T,
+                        preferred_element_type=jnp.float32)      # (m, D)
+
         ok = same_row & (key_valid[:, lo:lo + m] > 0)
         bias = jnp.where(ok, 0.0, NEG_INF).astype(jnp.float32)
         a_heads, dq_heads, dk_heads, dv_heads = [], [], [], []
         for h in range(num_heads):
             sl = slice(h * hd, (h + 1) * hd)
-            qh = q[lo:lo + m, sl].astype(cd)
-            kh = k[lo:lo + m, sl].astype(cd)
-            vh = v[lo:lo + m, sl].astype(cd)
+            qh = q[:, sl].astype(cd)
+            kh = k[:, sl].astype(cd)
+            vh = v[:, sl].astype(cd)
             s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
             s = s + bias
             s = s - jnp.max(s, axis=-1, keepdims=True)
             p = jnp.exp(s)
             p = p / jnp.sum(p, axis=-1, keepdims=True)           # (m, m) f32
-            a_heads.append(jnp.dot(p.astype(cd), vh,
+            pc = p.astype(cd)
+            a_heads.append(jnp.dot(pc, vh,
                                    preferred_element_type=jnp.float32))
-            da = dattn[lo:lo + m, sl].astype(cd)                 # (m, hd)
-            dv_heads.append(jnp.dot(p.astype(cd).T, da,
+            da = dattn[:, sl].astype(cd)                         # (m, hd)
+            dv_heads.append(jnp.dot(pc.T, da,
                                     preferred_element_type=jnp.float32))
             dp = jnp.dot(da, vh.T, preferred_element_type=jnp.float32)
             ds = p * (dp - jnp.sum(dp * p, axis=-1, keepdims=True))
@@ -317,41 +334,20 @@ def _bwd_kernel(x_ref, mask_ref, g_ref, wqkv_ref, wo_ref, bqkv_ref,
                             * scale)
             dk_heads.append(jnp.dot(dsc.T, qh,
                                     preferred_element_type=jnp.float32))
-        attn_strips.append(jnp.concatenate(a_heads, axis=-1))
-        dq_strips.append(jnp.concatenate(dq_heads, axis=-1))
-        dk_strips.append(jnp.concatenate(dk_heads, axis=-1))
-        dv_strips.append(jnp.concatenate(dv_heads, axis=-1))
+        attn_s = jnp.concatenate(a_heads, axis=-1).astype(cd)    # (m, D)
+        dqkv_s = jnp.concatenate(
+            [jnp.concatenate(dq_heads, axis=-1),
+             jnp.concatenate(dk_heads, axis=-1),
+             jnp.concatenate(dv_heads, axis=-1)], axis=1)        # (m, 3D)
 
-    attn = jnp.concatenate(attn_strips, axis=0).astype(cd)       # (n, D)
-    dqkv = jnp.concatenate(
-        [jnp.concatenate(dq_strips, axis=0),
-         jnp.concatenate(dk_strips, axis=0),
-         jnp.concatenate(dv_strips, axis=0)], axis=1)            # (n, 3D) f32
-
-    dx_ref[:] = jnp.dot(dqkv.astype(cd), wqkv.T,
-                        preferred_element_type=jnp.float32)
-
-    # weight/bias grads accumulate across the sequential grid
-    dwqkv_blk = jnp.dot(x.T, dqkv.astype(cd),
-                        preferred_element_type=jnp.float32)
-    dbqkv_blk = jnp.sum(dqkv, axis=0, keepdims=True)
-    dwo_blk = jnp.dot(attn.T, g.astype(cd),
-                      preferred_element_type=jnp.float32)
-    dbo_blk = jnp.sum(g, axis=0, keepdims=True)
-
-    @pl.when(pl.program_id(0) == 0)
-    def _init():
-        dwqkv_ref[:] = dwqkv_blk
-        dbqkv_ref[:] = dbqkv_blk
-        dwo_ref[:] = dwo_blk
-        dbo_ref[:] = dbo_blk
-
-    @pl.when(pl.program_id(0) != 0)
-    def _acc():
-        dwqkv_ref[:] += dwqkv_blk
-        dbqkv_ref[:] += dbqkv_blk
-        dwo_ref[:] += dwo_blk
-        dbo_ref[:] += dbo_blk
+        dx_ref[lo:lo + m, :] = jnp.dot(dqkv_s.astype(cd), wqkv.T,
+                                       preferred_element_type=jnp.float32)
+        dwqkv_ref[:] += jnp.dot(xs.T, dqkv_s.astype(cd),
+                                preferred_element_type=jnp.float32)
+        dbqkv_ref[:] += jnp.sum(dqkv_s, axis=0, keepdims=True)
+        dwo_ref[:] += jnp.dot(attn_s.T, gs.astype(cd),
+                              preferred_element_type=jnp.float32)
+        dbo_ref[:] += jnp.sum(gs, axis=0, keepdims=True)
 
 
 def _fused_backward(x, mask, w_qkv, b_qkv, w_out, b_out, g,
@@ -378,8 +374,10 @@ def _fused_backward(x, mask, w_qkv, b_qkv, w_out, b_out, g,
     n = r_blk * a_pad
     num_blocks = rows_pad // r_blk
 
+    # x and weights pre-cast to the compute dtype so their VMEM blocks are
+    # half-width and the kernel does no in-VMEM conversion copies
     xp = jnp.pad(x, ((0, rows_pad - rows), (0, a_pad - A), (0, 0)))
-    xp = xp.reshape(rows_pad * a_pad, D)
+    xp = xp.reshape(rows_pad * a_pad, D).astype(compute_dtype)
     gp = jnp.pad(g.astype(jnp.float32),
                  ((0, rows_pad - rows), (0, a_pad - A), (0, 0)))
     gp = gp.reshape(rows_pad * a_pad, D)
@@ -387,6 +385,8 @@ def _fused_backward(x, mask, w_qkv, b_qkv, w_out, b_out, g,
                      ((0, rows_pad - rows), (0, a_pad - A)))
     mask_p = jnp.broadcast_to(mask_p.reshape(num_blocks, 1, n),
                               (num_blocks, 8, n))
+    wqkv_c = w_qkv.astype(compute_dtype)
+    wo_c = w_out.astype(compute_dtype)
 
     full = lambda shape: pl.BlockSpec(shape, lambda r: (0,) * len(shape),
                                       memory_space=pltpu.VMEM)
@@ -421,7 +421,7 @@ def _fused_backward(x, mask, w_qkv, b_qkv, w_out, b_out, g,
             full((1, D)),
         ),
         interpret=interpret,
-    )(xp, mask_p, gp, w_qkv, w_out, b_qkv.reshape(1, -1))
+    )(xp, mask_p, gp, wqkv_c, wo_c, b_qkv.reshape(1, -1))
 
     dx = dx.reshape(rows_pad, a_pad, D)[:rows, :A]
     return dx, dwq, dbq.reshape(-1), dwo, dbo.reshape(-1)

@@ -66,6 +66,9 @@ def build_config(args) -> Config:
         # env.randomize_attributes = False (their configs/config.py:22)
         cfg = cfg.replace(env=dataclasses.replace(
             cfg.env, randomize_attributes=False))
+    if getattr(args, "kinematics", None):
+        cfg = cfg.replace(action_space=dataclasses.replace(
+            cfg.action_space, kinematics=args.kinematics))
     return cfg
 
 
@@ -103,6 +106,14 @@ def main(argv=None):
     p.add_argument("--log-interval", type=int, default=20)
     p.add_argument("--save-interval", type=int, default=200)
     p.add_argument("--gst-model-dir", default=None)
+    p.add_argument("--no-randomize-attributes", dest="randomize_attributes",
+                   action="store_false",
+                   help="fixed human v_pref/radius (the reference's "
+                        "*_non_rand configs: env.randomize_attributes="
+                        "False, their configs/config.py:23)")
+    p.add_argument("--kinematics", default=None,
+                   choices=["holonomic", "unicycle"],
+                   help="robot action space (reference config.py:113)")
     p.add_argument("--resume", default=None,
                    help="checkpoint directory to resume from")
     p.add_argument("--eval-interval", type=int, default=0,
