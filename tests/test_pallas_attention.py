@@ -263,3 +263,43 @@ def test_fused_backward_value_and_grad_jit():
     ref_val = jnp.mean(reference_fused_graph_attention(
         x, mask, w_qkv, b_qkv, w_out, b_out, 8) ** 2)
     np.testing.assert_allclose(float(val), float(ref_val), rtol=2e-4)
+
+
+def test_pallas_scope_rollout_param_tree_consistent():
+    """pallas_scope='rollout' swaps evaluate_actions to the einsum path;
+    the param tree must be identical so one set of weights serves both."""
+    import dataclasses
+    from crowdnav_prediction_attngraph_tpu.config import gst_config
+    from crowdnav_prediction_attngraph_tpu.models import policy as policy_mod
+
+    cfg = gst_config(human_num=4)
+    net = cfg.network
+    cfg = cfg.replace(network=net.__class__(
+        **{**net.__dict__, "use_pallas_attention": True,
+           "pallas_dtype": "float32", "pallas_scope": "rollout"}))
+    up = policy_mod._update_cfg(cfg)
+    assert not up.network.use_pallas_attention
+    assert cfg.network.use_pallas_attention
+    # scope 'all' leaves the config untouched
+    cfg_all = cfg.replace(network=net.__class__(
+        **{**net.__dict__, "use_pallas_attention": True,
+           "pallas_scope": "all"}))
+    assert policy_mod._update_cfg(cfg_all) is cfg_all
+
+    from crowdnav_prediction_attngraph_tpu.models.policy_net import (
+        init_hidden)
+    import jax, jax.numpy as jnp
+    N, A, D = 3, cfg.sim.max_human_num, cfg.spatial_edge_dim
+    key = jax.random.key(0)
+    obs = {
+        "robot_node": jax.random.normal(key, (N, 7)),
+        "temporal_edges": jax.random.normal(key, (N, 2)),
+        "spatial_edges": jax.random.normal(key, (N, A, D)),
+        "visible_masks": jnp.ones((N, A), bool),
+        "detected_human_num": jnp.full((N,), A, jnp.int32),
+    }
+    p_roll = policy_mod.init_params(cfg, key, obs)
+    p_upd = policy_mod.init_params(policy_mod._update_cfg(cfg), key, obs)
+    assert jax.tree.structure(p_roll) == jax.tree.structure(p_upd)
+    for a, b in zip(jax.tree.leaves(p_roll), jax.tree.leaves(p_upd)):
+        assert a.shape == b.shape
