@@ -73,8 +73,21 @@ def build_config(args) -> Config:
 
 
 def load_gst_params(cfg: Config, model_dir: str | None):
+    """GST predictor weights for the inferred-prediction envs. Accepts
+    either the reference's torch layout (<dir>/checkpoint/epoch_100.pt) or
+    an orbax checkpoint saved by our own offline trainer
+    (models/gst/trainer.py, e.g. results/gst_sj_tpu/epoch_100) — so a
+    SELF-TRAINED predictor can drive the nav stack end to end."""
     if cfg.sim.predict_method != "inferred":
         return None
+    if model_dir is not None and not os.path.exists(
+            os.path.join(model_dir, "checkpoint", "epoch_100.pt")):
+        # orbax dir from our trainer: restore into a template param tree
+        from .models.gst.trainer import init_params as gst_init
+        from .utils.checkpoint import load_params
+        template = gst_init(cfg.pred, jax.random.key(0),
+                            cfg.sim.max_human_num)
+        return load_params(model_dir, template)
     from .utils.torch_import import load_gst_checkpoint
     if model_dir is None:
         model_dir = os.path.join(
