@@ -32,14 +32,21 @@ def read_txt(path: str) -> np.ndarray:
 
 
 def build_windows(records: np.ndarray, obs_len: int = 5, pred_len: int = 5,
-                  max_peds: int = 32, stride: int = 1):
-    """Yield padded windows from one env's record stream."""
+                  max_peds: int = 32, stride: int = 1, max_windows: int = 0):
+    """Yield padded windows from one env's record stream. Frame bucketing is
+    one stable sort + split (a per-frame boolean mask is O(frames x records)
+    — quadratic, hours on a million-record stream); ``max_windows`` stops
+    early so capped loads don't pay for windows they discard."""
     seq_len = obs_len + pred_len
-    frames = np.unique(records[:, 0])
-    frames.sort()
-    by_frame = {f: records[records[:, 0] == f] for f in frames}
+    order = np.argsort(records[:, 0], kind="stable")
+    rec_sorted = records[order]
+    frames, starts = np.unique(rec_sorted[:, 0], return_index=True)
+    rows_by_frame = np.split(rec_sorted, starts[1:])
+    by_frame = dict(zip(frames, rows_by_frame))
     windows = []
     for s in range(0, len(frames) - seq_len + 1, stride):
+        if max_windows and len(windows) >= max_windows:
+            break
         fr = frames[s:s + seq_len]
         # consecutive frames only
         if not np.allclose(np.diff(fr), fr[1] - fr[0]):
@@ -85,13 +92,41 @@ def _window_arrays(pos, present, obs_len, pred_len):
 
 
 def load_dataset(data_dir: str, obs_len: int = 5, pred_len: int = 5,
-                 max_peds: int = 32, stride: int = 1) -> List[dict]:
+                 max_peds: int = 32, stride: int = 1,
+                 cache: bool = True, max_windows: int = 0) -> List[dict]:
+    """Window building is pure-python per frame (~10 s per 20k records), so
+    the stacked window arrays are cached beside the txt files; the cache key
+    carries every windowing parameter (ADVICE r2: a cache built under one
+    max_peds must not be reused under another). ``max_windows`` stops
+    READING once reached — a collected stream can hold millions of windows
+    (~80 KB each) and both the loader and the fused-epoch device copy must
+    stay bounded."""
+    cache_path = os.path.join(
+        data_dir, f"windows_o{obs_len}_p{pred_len}_m{max_peds}_s{stride}"
+                  + (f"_w{max_windows}" if max_windows else "") + ".npz")
+    if cache and os.path.exists(cache_path):
+        z = np.load(cache_path)
+        n = z["v"].shape[0]
+        keys = list(z.files)
+        return [{k: z[k][i] for k in keys} for i in range(n)]
     windows = []
     for name in sorted(os.listdir(data_dir)):
         if not name.endswith(".txt"):
             continue
         rec = read_txt(os.path.join(data_dir, name))
-        windows.extend(build_windows(rec, obs_len, pred_len, max_peds, stride))
+        room = max_windows - len(windows) if max_windows else 0
+        windows.extend(build_windows(rec, obs_len, pred_len, max_peds, stride,
+                                     max_windows=room))
+        if max_windows and len(windows) >= max_windows:
+            windows = windows[:max_windows]
+            break
+    if cache and windows:
+        try:
+            np.savez_compressed(
+                cache_path,
+                **{k: np.stack([w[k] for w in windows]) for k in windows[0]})
+        except OSError:
+            pass  # read-only data dir: skip caching
     return windows
 
 

@@ -113,21 +113,80 @@ def loss_fn(cfg: PredConfig, params, batch, tau, key, deterministic_loss):
     return loss, (jnp.sum(aoe), jnp.sum(foe), jnp.sum(full))
 
 
+def _step_math(cfg, tx, params, opt_state, batch, tau, key,
+               deterministic_loss, rotation_pattern):
+    """One optimizer step (shared by the per-batch host loop and the fused
+    on-device epoch scan so both paths run identical math)."""
+    if rotation_pattern is not None:
+        key, k_rot = jax.random.split(key)
+        batch = random_rotate_batch(batch, k_rot, rotation_pattern)
+    (loss, aux), grads = jax.value_and_grad(
+        loss_fn, argnums=1, has_aux=True)(cfg, params, batch, tau, key,
+                                          deterministic_loss)
+    updates, opt_state = tx.update(grads, opt_state, params)
+    params = optax.apply_updates(params, updates)
+    return params, opt_state, loss, aux
+
+
 def make_train_step(cfg: PredConfig, tx, deterministic_loss: bool,
                     rotation_pattern: str | None = None):
     @jax.jit
     def step(params, opt_state, batch, tau, key):
-        if rotation_pattern is not None:
-            key, k_rot = jax.random.split(key)
-            batch = random_rotate_batch(batch, k_rot, rotation_pattern)
-        (loss, aux), grads = jax.value_and_grad(
-            loss_fn, argnums=1, has_aux=True)(cfg, params, batch, tau, key,
-                                              deterministic_loss)
-        updates, opt_state = tx.update(grads, opt_state, params)
-        params = optax.apply_updates(params, updates)
-        return params, opt_state, loss, aux
+        return _step_math(cfg, tx, params, opt_state, batch, tau, key,
+                          deterministic_loss, rotation_pattern)
 
     return step
+
+
+def stack_windows(windows):
+    """One contiguous (N, ...) array per window field — the epoch-resident
+    device copy for the fused epoch path (the whole dataset lives in HBM;
+    batches are gathered on device, so an epoch is ONE XLA program instead
+    of ~1.7k host dispatches)."""
+    return {k: np.stack([w[k] for w in windows]) for k in windows[0]}
+
+
+def make_epoch_fns(cfg: PredConfig, tx, deterministic_loss: bool,
+                   rotation_pattern: str | None, batch_size: int):
+    """Whole-epoch device programs (TPU-first replacement for the
+    reference's per-graph host loop, gst train.py:100-160): lax.scan of the
+    batch-``batch_size`` Adam step over an on-device shuffle permutation.
+    Identical update sequence to the host loop — same micro-batch size,
+    same order, same fold_in(ekey, i) per-step keys — so resuming or
+    switching paths mid-run reproduces the same trajectory."""
+
+    def train_epoch(params, opt_state, data, perm, ekey, tau):
+        n_steps = perm.shape[0] // batch_size
+        idx = perm[:n_steps * batch_size].reshape(n_steps, batch_size)
+
+        def body(carry, xs):
+            params, opt_state = carry
+            sel, i = xs
+            batch = jax.tree.map(lambda a: jnp.take(a, sel, axis=0), data)
+            k = jax.random.fold_in(ekey, i)
+            params, opt_state, loss, aux = _step_math(
+                cfg, tx, params, opt_state, batch, tau, k,
+                deterministic_loss, rotation_pattern)
+            return (params, opt_state), (loss, jnp.stack(aux))
+
+        (params, opt_state), (losses, auxs) = jax.lax.scan(
+            body, (params, opt_state), (idx, jnp.arange(n_steps)))
+        return params, opt_state, losses, jnp.sum(auxs, axis=0)
+
+    def eval_epoch(params, data, idx, vkey, tau):
+        def body(_, xs):
+            sel, i = xs
+            batch = jax.tree.map(lambda a: jnp.take(a, sel, axis=0), data)
+            k = jax.random.fold_in(vkey, i)
+            loss, aux = loss_fn(cfg, params, batch, tau, k,
+                                deterministic_loss)
+            return None, (loss, jnp.stack(aux))
+
+        _, (losses, auxs) = jax.lax.scan(
+            body, None, (idx, jnp.arange(idx.shape[0])))
+        return losses, jnp.sum(auxs, axis=0)
+
+    return jax.jit(train_epoch), jax.jit(eval_epoch)
 
 
 def make_eval_step(cfg: PredConfig, deterministic_loss: bool):
@@ -152,7 +211,7 @@ def train(cfg: PredConfig, train_windows, val_windows, out_dir: str,
           batch_size: int = 16, init_temp: float = 0.5, seed: int = 1000,
           deterministic_loss: bool = False, save_epochs: int = 10,
           max_peds: int = 32, rotation_pattern: str | None = None,
-          resume_epoch: int = 0):
+          resume_epoch: int = 0, fused_epochs: bool = True):
     """Epoch loop (gst train.py:50-195). Per-epoch RNG is derived by
     ``fold_in(seed, epoch)`` so resuming from epoch k reproduces the exact
     run that never stopped (the reference restores its schedulers on resume,
@@ -165,6 +224,21 @@ def train(cfg: PredConfig, train_windows, val_windows, out_dir: str,
     opt_state = tx.init(params)
     tstep = make_train_step(cfg, tx, deterministic_loss, rotation_pattern)
     estep = make_eval_step(cfg, deterministic_loss)
+    if fused_epochs:
+        train_ep, eval_ep = make_epoch_fns(cfg, tx, deterministic_loss,
+                                           rotation_pattern, batch_size)
+        train_data = jax.device_put(
+            jax.tree.map(jnp.asarray, stack_windows(train_windows)))
+        val_data = jax.device_put(
+            jax.tree.map(jnp.asarray, stack_windows(val_windows)))
+        n_val_full = len(val_windows) // batch_size
+        val_idx = jnp.arange(n_val_full * batch_size).reshape(
+            n_val_full, batch_size)
+        # the remainder batch (< batch_size) is scored host-side with the
+        # same fold_in(vkey, n_val_full) key the host loop would use
+        val_rem = val_windows[n_val_full * batch_size:]
+        val_rem_batch = jax.tree.map(jnp.asarray, stack_windows(val_rem)) \
+            if val_rem else None
 
     os.makedirs(out_dir, exist_ok=True)
     hist = {"train_loss": [], "val_loss": [], "train_aoe": [], "val_aoe": [],
@@ -183,23 +257,43 @@ def train(cfg: PredConfig, train_windows, val_windows, out_dir: str,
         t0 = time.time()
         ekey = jax.random.fold_in(base_key, epoch)
         rng = np.random.RandomState(seed + epoch)
-        tl, t_sums = [], np.zeros(3)
-        for i, batch in enumerate(ds.batches(train_windows, batch_size, rng)):
-            k = jax.random.fold_in(ekey, i)
-            batch = jax.tree.map(jnp.asarray, batch)
-            params, opt_state, loss, aux = tstep(params, opt_state,
-                                                 batch, tau, k)
-            tl.append(float(loss))
-            t_sums += np.asarray(jax.tree.map(float, aux))
-        vl, v_sums = [], np.zeros(3)
         vkey = jax.random.fold_in(ekey, 1 << 20)
-        for i, batch in enumerate(ds.batches(val_windows, batch_size, rng,
-                                             shuffle=False)):
-            k = jax.random.fold_in(vkey, i)
-            batch = jax.tree.map(jnp.asarray, batch)
-            loss, aux = estep(params, batch, tau, k)
-            vl.append(float(loss))
-            v_sums += np.asarray(jax.tree.map(float, aux))
+        if fused_epochs:
+            perm = np.arange(len(train_windows))
+            rng.shuffle(perm)
+            params, opt_state, losses, t_aux = train_ep(
+                params, opt_state, train_data, jnp.asarray(perm), ekey,
+                jnp.float32(tau))
+            tl = [float(jnp.mean(losses))] if losses.size else []
+            t_sums = np.asarray(t_aux)
+            v_losses, v_aux = eval_ep(params, val_data, val_idx, vkey,
+                                      jnp.float32(tau))
+            vl = [float(x) for x in np.asarray(v_losses)]
+            v_sums = np.asarray(v_aux)
+            if val_rem_batch is not None:
+                k = jax.random.fold_in(vkey, n_val_full)
+                loss, aux = estep(params, val_rem_batch, tau, k)
+                vl.append(float(loss))
+                v_sums = v_sums + np.asarray(jax.tree.map(float, aux))
+        else:
+            tl, t_sums = [], np.zeros(3)
+            for i, batch in enumerate(ds.batches(train_windows, batch_size,
+                                                 rng)):
+                k = jax.random.fold_in(ekey, i)
+                batch = jax.tree.map(jnp.asarray, batch)
+                params, opt_state, loss, aux = tstep(params, opt_state,
+                                                     batch, tau, k)
+                tl.append(float(loss))
+                t_sums += np.asarray(jax.tree.map(float, aux))
+            vl, v_sums = [], np.zeros(3)
+            for i, batch in enumerate(ds.batches(val_windows, batch_size,
+                                                 rng, shuffle=False,
+                                                 drop_last=False)):
+                k = jax.random.fold_in(vkey, i)
+                batch = jax.tree.map(jnp.asarray, batch)
+                loss, aux = estep(params, batch, tau, k)
+                vl.append(float(loss))
+                v_sums += np.asarray(jax.tree.map(float, aux))
         # epoch normalization: sum over peds / sum of full-period mask,
         # exactly the reference's (gst train.py:149-156, eval.py:139-147)
         td, vd = max(t_sums[2], 1.0), max(v_sums[2], 1.0)
@@ -255,17 +349,22 @@ def main(argv=None):
                    help="window start stride (reference --skip)")
     p.add_argument("--max-windows", type=int, default=0,
                    help="cap the train window count (0 = all)")
+    p.add_argument("--max-val-windows", type=int, default=0,
+                   help="cap the val window count (0 = all)")
+    p.add_argument("--host-batches", action="store_true",
+                   help="per-batch host loop instead of the fused on-device "
+                        "epoch scan (debug / low-memory fallback)")
     args = p.parse_args(argv)
 
     cfg = PredConfig(spatial_num_heads_edges=args.edge_heads)
     train_w = ds.load_dataset(os.path.join(args.data_dir, "train"),
                               cfg.obs_seq_len, cfg.pred_seq_len,
-                              args.max_peds, stride=args.stride)
-    if args.max_windows:
-        train_w = train_w[:args.max_windows]
+                              args.max_peds, stride=args.stride,
+                              max_windows=args.max_windows)
     test_dir = os.path.join(args.data_dir, "test")
     val_w = ds.load_dataset(test_dir, cfg.obs_seq_len, cfg.pred_seq_len,
-                            args.max_peds, stride=args.stride) \
+                            args.max_peds, stride=args.stride,
+                            max_windows=args.max_val_windows) \
         if os.path.isdir(test_dir) else train_w[: max(len(train_w) // 10, 1)]
     print(f"{len(train_w)} train windows, {len(val_w)} val windows")
     train(cfg, train_w, val_w, args.out, epochs=args.epochs,
@@ -273,7 +372,8 @@ def main(argv=None):
           batch_size=args.batch_size, seed=args.seed,
           deterministic_loss=args.deterministic, max_peds=args.max_peds,
           rotation_pattern=args.rotation_pattern,
-          resume_epoch=args.resume_epoch)
+          resume_epoch=args.resume_epoch,
+          fused_epochs=not args.host_batches)
 
 
 if __name__ == "__main__":

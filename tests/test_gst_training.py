@@ -113,6 +113,34 @@ def test_trainer_resume_parity(records, tmp_path):
                  p_straight, p_resumed)
 
 
+def test_fused_epoch_matches_host_loop(records, tmp_path):
+    """The on-device lax.scan epoch (trainer.make_epoch_fns) runs the same
+    micro-batch Adam sequence as the per-batch host loop: same shuffle
+    permutation, same fold_in(ekey, i) step keys, same remainder-val batch
+    — so params and history agree to float tolerance."""
+    arr = np.asarray(records[0])
+    windows = ds.build_windows(arr, obs_len=5, pred_len=5, max_peds=8)
+    # odd-sized val split to exercise the remainder-batch path
+    val = windows[:5]
+    cfg = PredConfig()
+    kw = dict(epochs=2, temp_epochs=4, lr=1e-3, batch_size=4, seed=11,
+              save_epochs=10, max_peds=8, rotation_pattern="random")
+    p_fused, h_fused = trainer.train(cfg, windows, val,
+                                     str(tmp_path / "fused"), **kw,
+                                     fused_epochs=True)
+    p_host, h_host = trainer.train(cfg, windows, val,
+                                   str(tmp_path / "host"), **kw,
+                                   fused_epochs=False)
+    # XLA fuses the scan body differently from the standalone step program,
+    # so per-step float reassociation (amplified by Adam's 1/sqrt(v)) leaves
+    # ~1e-4-scale residue after 2 epochs; the update SEQUENCE is identical.
+    jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=3e-4),
+                 p_fused, p_host)
+    for k in h_fused:
+        np.testing.assert_allclose(h_fused[k], h_host[k], rtol=2e-3,
+                                   atol=2e-4, err_msg=k)
+
+
 def test_temperature_schedule():
     # temperature_scheduler.py:12-20 endpoints
     assert trainer.temperature(0, 100, 0.5) == pytest.approx(0.5)
