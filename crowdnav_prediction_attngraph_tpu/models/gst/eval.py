@@ -186,9 +186,8 @@ def main(argv=None):
                                   obs_len, pred_len,
                                   32 if args.max_peds is None
                                   else args.max_peds,
-                                  stride=args.stride)
-        if args.max_windows and len(windows) > args.max_windows:
-            windows = windows[:args.max_windows]
+                                  stride=args.stride,
+                                  max_windows=args.max_windows)
         name = args.data_dir
     else:
         raise SystemExit("provide --dataset or --data-dir")
