@@ -105,10 +105,13 @@ def load_dataset(data_dir: str, obs_len: int = 5, pred_len: int = 5,
         data_dir, f"windows_o{obs_len}_p{pred_len}_m{max_peds}_s{stride}"
                   + (f"_w{max_windows}" if max_windows else "") + ".npz")
     if cache and os.path.exists(cache_path):
-        z = np.load(cache_path)
-        n = z["v"].shape[0]
-        keys = list(z.files)
-        return [{k: z[k][i] for k in keys} for i in range(n)]
+        with np.load(cache_path) as z:
+            # materialize each array ONCE — NpzFile re-decompresses the whole
+            # array on EVERY key access, so indexing z[k][i] in a loop is
+            # O(n^2) decompression
+            arrays = {k: z[k] for k in z.files}
+        n = arrays["v"].shape[0]
+        return [{k: a[i] for k, a in arrays.items()} for i in range(n)]
     windows = []
     for name in sorted(os.listdir(data_dir)):
         if not name.endswith(".txt"):
