@@ -20,7 +20,9 @@ Outputs per window:
 
 from __future__ import annotations
 
+import hashlib
 import os
+import zipfile
 from typing import Iterator, List, Tuple
 
 import numpy as np
@@ -101,21 +103,37 @@ def load_dataset(data_dir: str, obs_len: int = 5, pred_len: int = 5,
     READING once reached — a collected stream can hold millions of windows
     (~80 KB each) and both the loader and the fused-epoch device copy must
     stay bounded."""
+    # the cache must also be invalidated when the SOURCE txt files change —
+    # data/sj is re-collected between rounds and a stale windows_*.npz in a
+    # refreshed dir would silently train on the previous collection (ADVICE
+    # r3). Fingerprint = hash of sorted (filename, size, mtime) of the txts.
+    txts = sorted(n for n in os.listdir(data_dir) if n.endswith(".txt"))
+    fp_src = "".join(
+        f"{n}:{os.path.getsize(os.path.join(data_dir, n))}:"
+        f"{int(os.path.getmtime(os.path.join(data_dir, n)))};" for n in txts)
+    fingerprint = hashlib.sha1(fp_src.encode()).hexdigest()[:10]
     cache_path = os.path.join(
         data_dir, f"windows_o{obs_len}_p{pred_len}_m{max_peds}_s{stride}"
-                  + (f"_w{max_windows}" if max_windows else "") + ".npz")
+                  + (f"_w{max_windows}" if max_windows else "")
+                  + f"_f{fingerprint}.npz")
     if cache and os.path.exists(cache_path):
-        with np.load(cache_path) as z:
-            # materialize each array ONCE — NpzFile re-decompresses the whole
-            # array on EVERY key access, so indexing z[k][i] in a loop is
-            # O(n^2) decompression
-            arrays = {k: z[k] for k in z.files}
-        n = arrays["v"].shape[0]
-        return [{k: a[i] for k, a in arrays.items()} for i in range(n)]
+        try:
+            with np.load(cache_path) as z:
+                # materialize each array ONCE — NpzFile re-decompresses the
+                # whole array on EVERY key access, so indexing z[k][i] in a
+                # loop is O(n^2) decompression
+                arrays = {k: z[k] for k in z.files}
+            n = arrays["v"].shape[0]
+            return [{k: a[i] for k, a in arrays.items()} for i in range(n)]
+        except (zipfile.BadZipFile, KeyError, ValueError, OSError, EOFError):
+            # truncated cache from an interrupted run (container resets are a
+            # known hazard here): drop it and rebuild (ADVICE r3)
+            try:
+                os.remove(cache_path)
+            except OSError:
+                pass
     windows = []
-    for name in sorted(os.listdir(data_dir)):
-        if not name.endswith(".txt"):
-            continue
+    for name in txts:
         rec = read_txt(os.path.join(data_dir, name))
         room = max_windows - len(windows) if max_windows else 0
         windows.extend(build_windows(rec, obs_len, pred_len, max_peds, stride,
@@ -125,9 +143,22 @@ def load_dataset(data_dir: str, obs_len: int = 5, pred_len: int = 5,
             break
     if cache and windows:
         try:
+            # write to a temp file and atomically replace so an interrupted
+            # run never leaves a truncated npz at the final path
+            tmp_path = cache_path + f".tmp{os.getpid()}.npz"
             np.savez_compressed(
-                cache_path,
+                tmp_path,
                 **{k: np.stack([w[k] for w in windows]) for k in windows[0]})
+            os.replace(tmp_path, cache_path)
+            # drop caches of the same parameters but an older fingerprint
+            prefix = os.path.basename(cache_path).rsplit("_f", 1)[0] + "_f"
+            for n in os.listdir(data_dir):
+                if (n.startswith(prefix) and n.endswith(".npz")
+                        and n != os.path.basename(cache_path)):
+                    try:
+                        os.remove(os.path.join(data_dir, n))
+                    except OSError:
+                        pass
         except OSError:
             pass  # read-only data dir: skip caching
     return windows

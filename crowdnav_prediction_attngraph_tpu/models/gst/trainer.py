@@ -225,6 +225,24 @@ def train(cfg: PredConfig, train_windows, val_windows, out_dir: str,
     tstep = make_train_step(cfg, tx, deterministic_loss, rotation_pattern)
     estep = make_eval_step(cfg, deterministic_loss)
     if fused_epochs:
+        # fused epochs device_put the ENTIRE stacked window set into HBM; an
+        # uncapped collected stream (millions of ~80 KB windows) would OOM
+        # the device at startup. Estimate the stacked bytes and degrade to
+        # the host-batch path instead of crashing (ADVICE r3).
+        est_bytes = sum(
+            sum(a.nbytes for a in w.values())
+            for w in (train_windows[:1] + val_windows[:1])) // max(
+                1 + bool(val_windows), 1) * (len(train_windows)
+                                             + len(val_windows))
+        budget = int(os.environ.get("GST_FUSED_HBM_BUDGET",
+                                    str(8 * 1024 ** 3)))
+        if est_bytes > budget:
+            print(f"[trainer] fused_epochs disabled: stacked windows ~"
+                  f"{est_bytes / 1e9:.1f} GB exceed the {budget / 1e9:.0f} GB "
+                  "device budget — falling back to host batches "
+                  "(cap the load with --max-windows to re-enable)")
+            fused_epochs = False
+    if fused_epochs:
         train_ep, eval_ep = make_epoch_fns(cfg, tx, deterministic_loss,
                                            rotation_pattern, batch_size)
         train_data = jax.device_put(
