@@ -183,6 +183,11 @@ class PredConfig:
     detach_sample: bool = False
     tau: float = 0.03                  # post-annealing temperature (vec_pretext_normalize.py:52-53)
     invalid_value: float = -999.0      # crowd_nav_interface_parallel.py:72
+    # matmul compute dtype for INFERENCE inside the fused rollout ("bf16" |
+    # "f32"): bf16 runs the spatial-attention/LSTM/FFN matmuls at 2x MXU rate
+    # with f32 accumulation; softmax, LayerNorm, renorm and the Gaussian head
+    # stay f32. Offline GST TRAINING and the torch-parity tests pin f32.
+    matmul_dtype: str = "f32"
 
 
 @_frozen

@@ -30,21 +30,36 @@ from flax import linen as nn
 from ...config import PredConfig
 
 
-def masked_renorm_attention(q, k, v, float_mask, num_heads: int):
+def masked_renorm_attention(q, k, v, float_mask, num_heads: int,
+                            compute_dtype=jnp.float32):
     """VanillaMultiheadAttention core with float-mask renormalization
     (mha.py:221-246). q: (B, L, D); k/v: (B, S, D); float_mask: (B, L, S)
-    target x neighbor. Returns (attn_out (B, L, H, hd), weights (B, H, L, S))."""
+    target x neighbor. Returns (attn_out (B, L, H, hd), weights (B, H, L, S)).
+
+    ``compute_dtype=bf16`` runs the two einsums at 2x MXU rate with f32
+    accumulation; softmax and the renormalization stay f32."""
     B, L, D = q.shape
     hd = D // num_heads
-    qh = q.reshape(B, L, num_heads, hd)
-    kh = k.reshape(B, k.shape[1], num_heads, hd)
-    vh = v.reshape(B, v.shape[1], num_heads, hd)
-    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh) / math.sqrt(hd)
+    qh = q.reshape(B, L, num_heads, hd).astype(compute_dtype)
+    kh = k.reshape(B, k.shape[1], num_heads, hd).astype(compute_dtype)
+    vh = v.reshape(B, v.shape[1], num_heads, hd).astype(compute_dtype)
+    logits = jnp.einsum("bqhd,bkhd->bhqk", qh, kh,
+                        preferred_element_type=jnp.float32) / math.sqrt(hd)
     w = jax.nn.softmax(logits, axis=-1)
     w = w * float_mask[:, None, :, :]
     w = w / (jnp.sum(w, axis=-1, keepdims=True) + 1e-10)
-    out = jnp.einsum("bhqk,bkhd->bqhd", w, vh)
+    out = jnp.einsum("bhqk,bkhd->bqhd", w.astype(compute_dtype), vh,
+                     preferred_element_type=jnp.float32)
     return out, w
+
+
+def _dense(mod, features: int, name: str, cd):
+    """nn.Dense whose matmul runs in the compute dtype but whose output is
+    returned in f32 (mixed-precision inference; identity when cd is f32)."""
+    if cd == jnp.float32:
+        return nn.Dense(features, name=name)
+    layer = nn.Dense(features, name=name, dtype=cd)
+    return lambda x: layer(x).astype(jnp.float32)
 
 
 class NodeEncoderLayer(nn.Module):
@@ -57,11 +72,13 @@ class NodeEncoderLayer(nn.Module):
     dim_feedforward: int = 128
     dropout: float = 0.1
     ghost: bool = False
+    matmul_dtype: str = "f32"
 
     @nn.compact
     def __call__(self, x, adj_mask, attn_mask, deterministic: bool = True):
         # x: (B, A, d); adj_mask: (B, A, A[+1]) float; attn_mask: (B, A, A)
         B, A, D = x.shape
+        cd = jnp.bfloat16 if self.matmul_dtype == "bf16" else jnp.float32
         ped_mask = (jnp.sum(attn_mask, axis=-1) > 0).astype(x.dtype)[..., None]
         # the reference REASSIGNS x to the normed+masked value before the
         # residual (node_encoder_layer_no_ghost.py:48-49,59) — the skip
@@ -75,17 +92,23 @@ class NodeEncoderLayer(nn.Module):
         w_in = self.param("in_proj_weight", nn.initializers.xavier_uniform(),
                           (D, 3 * D))
         b_in = self.param("in_proj_bias", nn.initializers.zeros, (3 * D,))
-        q = h @ w_in[:, :D] + b_in[:D]
-        k = kv @ w_in[:, D:2 * D] + b_in[D:2 * D]
-        v = kv @ w_in[:, 2 * D:] + b_in[2 * D:]
-        out_h, weights = masked_renorm_attention(q, k, v, adj_mask, self.nhead)
-        out = nn.Dense(D, name="out_proj")(out_h.reshape(B, A, D))
+        w_c = w_in.astype(cd)
+        h_c, kv_c = h.astype(cd), kv.astype(cd)
+        q = jnp.dot(h_c, w_c[:, :D],
+                    preferred_element_type=jnp.float32) + b_in[:D]
+        k = jnp.dot(kv_c, w_c[:, D:2 * D],
+                    preferred_element_type=jnp.float32) + b_in[D:2 * D]
+        v = jnp.dot(kv_c, w_c[:, 2 * D:],
+                    preferred_element_type=jnp.float32) + b_in[2 * D:]
+        out_h, weights = masked_renorm_attention(q, k, v, adj_mask, self.nhead,
+                                                 compute_dtype=cd)
+        out = _dense(self, D, "out_proj", cd)(out_h.reshape(B, A, D))
         out = nn.Dropout(self.dropout, deterministic=deterministic)(out)
         x = x + out
         h2 = nn.LayerNorm(name="norm1_node")(x)
-        h2 = nn.relu(nn.Dense(self.dim_feedforward, name="linear1")(h2))
+        h2 = nn.relu(_dense(self, self.dim_feedforward, "linear1", cd)(h2))
         h2 = nn.Dropout(self.dropout, deterministic=deterministic)(h2)
-        h2 = nn.Dense(D, name="linear2")(h2)
+        h2 = _dense(self, D, "linear2", cd)(h2)
         h2 = nn.Dropout(self.dropout, deterministic=deterministic)(h2)
         return x + h2, weights
 
@@ -197,16 +220,22 @@ class GumbelSocialTransformer(nn.Module):
         for i in range(cfg.spatial_num_layers):
             h, w = NodeEncoderLayer(
                 cfg.embedding_size, cfg.spatial_num_heads,
-                cfg.dim_feedforward, ghost=cfg.ghost, name=f"layer_{i}")(
+                cfg.dim_feedforward, ghost=cfg.ghost,
+                matmul_dtype=cfg.matmul_dtype, name=f"layer_{i}")(
                     h, adj, attn_mask, deterministic)
             weights.append(w)
         return h, sampled, multinomial, jnp.stack(weights)
 
 
-def lstm_step(params, x, h, c):
-    """torch nn.LSTM cell semantics; gate order [i, f, g, o]."""
-    gi = x @ params["w_ih"] + params["b_ih"]
-    gh = h @ params["w_hh"] + params["b_hh"]
+def lstm_step(params, x, h, c, compute_dtype=jnp.float32):
+    """torch nn.LSTM cell semantics; gate order [i, f, g, o]. The two gate
+    matmuls run in ``compute_dtype`` with f32 accumulation; gate nonlinearity
+    and cell state stay f32."""
+    cd = compute_dtype
+    gi = jnp.dot(x.astype(cd), params["w_ih"].astype(cd),
+                 preferred_element_type=jnp.float32) + params["b_ih"]
+    gh = jnp.dot(h.astype(cd), params["w_hh"].astype(cd),
+                 preferred_element_type=jnp.float32) + params["b_hh"]
     i, f, g, o = jnp.split(gi + gh, 4, axis=-1)
     c_new = jax.nn.sigmoid(f) * c + jax.nn.sigmoid(i) * jnp.tanh(g)
     h_new = jax.nn.sigmoid(o) * jnp.tanh(c_new)
@@ -234,6 +263,7 @@ class STModel(nn.Module):
         cfg = self.cfg
         B, obs_len, A, _ = x.shape
         H = cfg.lstm_hidden_size
+        cd = jnp.bfloat16 if cfg.matmul_dtype == "bf16" else jnp.float32
 
         gst = GumbelSocialTransformer(cfg, name="gst")
         lstm_params = {
@@ -268,7 +298,7 @@ class STModel(nn.Module):
 
         def obs_step(carry, x_t):
             h, c = carry
-            h, c = lstm_step(lstm_params, x_t.reshape(B * A, -1), h, c)
+            h, c = lstm_step(lstm_params, x_t.reshape(B * A, -1), h, c, cd)
             return (h, c), None
 
         (ht, ct), _ = jax.lax.scan(obs_step, (ht, ct),
@@ -315,7 +345,7 @@ class STModel(nn.Module):
                                  A_s.reshape(B, A, A, -1), attn_mask_pred,
                                  tau, hard, k_t, deterministic)
             h_new, c_new = lstm_step(lstm_params, xs_tt.reshape(B * A, -1) *
-                                     lm_flat, ht, ct)
+                                     lm_flat, ht, ct, cd)
             ht2 = h_new * lm_flat + ht * (1.0 - lm_flat)
             ct2 = c_new * lm_flat + ct * (1.0 - lm_flat)
             mu, sx, sy, corr = gaussian_from_hidden(ht2)

@@ -127,12 +127,70 @@ def weak_scaling(rows=256, A_base=16, D=256, H=8, max_dev=None):
     return results
 
 
+def weak_scaling_train(envs_per_dev=8, num_steps=8, max_dev=None):
+    """dp weak scaling of the FULL sharded train_iteration (rollout with the
+    fused GST predictor + GAE + PPO update) at fixed per-device env count —
+    the curve a real multi-chip slice will be asked for (VERDICT r3 #7).
+    Metric: env-steps/s; efficiency = rate(n) / (n * rate(1))."""
+    from jax.sharding import Mesh
+    from jax.experimental import mesh_utils
+    from ..config import gst_config
+    from ..parallel import train_step
+    from ..models.gst.st_model import STModel
+
+    n_avail = len(jax.devices())
+    results = {}
+    base_rate = None
+    n = 1
+    while n <= (max_dev or n_avail):
+        num_envs = envs_per_dev * n
+        cfg = gst_config(human_num=20)
+        cfg = cfg.replace(ppo=cfg.ppo.__class__(
+            num_processes=num_envs, num_steps=num_steps, num_mini_batch=2,
+            ppo_epoch=1))
+        L, A = cfg.pred.obs_seq_len, cfg.sim.max_human_num
+        gst_params = STModel(cfg.pred).init(
+            jax.random.key(0), jnp.zeros((1, L, A, 2)),
+            jnp.zeros((1, L, A, A, 2)), jnp.ones((1, L, A, A)),
+            jnp.ones((1, A, L + cfg.pred.pred_seq_len)), 0.03, True, False)
+        dev = mesh_utils.create_device_mesh((n, 1),
+                                            devices=jax.devices()[:n])
+        mesh = Mesh(dev, ("dp", "tp"))
+        with mesh:
+            ts = train_step.init_sharded(cfg, jax.random.key(0), mesh,
+                                         gst_params)
+            it = train_step.make_sharded_iteration(cfg, mesh, gst_params)
+            ts, m = it(ts)
+            jax.block_until_ready(m["value_loss"])
+            t0 = time.perf_counter()
+            iters = 5
+            for _ in range(iters):
+                ts, m = it(ts)
+            jax.block_until_ready(m["value_loss"])
+            dt = (time.perf_counter() - t0) / iters
+        rate = num_envs * num_steps / dt
+        if base_rate is None:
+            base_rate = rate
+        results[n] = {"env_steps_per_s": rate,
+                      "efficiency": rate / (base_rate * n)}
+        n *= 2
+    return results
+
+
 def main():
     p = argparse.ArgumentParser()
     p.add_argument("--weak-scaling", action="store_true")
+    p.add_argument("--weak-scaling-train", action="store_true",
+                   help="dp weak scaling of the full sharded train step")
     p.add_argument("--sweep", action="store_true",
                    help="fused-kernel logits-strip tuning sweep")
     args = p.parse_args()
+    if args.weak_scaling_train:
+        res = weak_scaling_train()
+        for n, r in res.items():
+            print(f"n={n}: {r['env_steps_per_s']:.1f} env-steps/s, "
+                  f"efficiency {r['efficiency']*100:.1f}%")
+        return
     if args.sweep:
         for rows, row in fused_sweep().items():
             parts = []

@@ -129,6 +129,15 @@ def main(argv=None):
                    help="robot action space (reference config.py:113)")
     p.add_argument("--resume", default=None,
                    help="checkpoint directory to resume from")
+    p.add_argument("--init-params-from", default=None,
+                   help="warm-start ONLY the network params from a "
+                        "checkpoint dir (fresh optimizer/envs/update "
+                        "counter) — the reference's sim2real curriculum: "
+                        "pretrain holonomic, fine-tune unicycle (README "
+                        "sim2real section; arguments.py:121-124)")
+    p.add_argument("--init-params-step", type=int, default=None,
+                   help="specific checkpoint step for --init-params-from "
+                        "(default: latest)")
     p.add_argument("--eval-interval", type=int, default=0,
                    help="run a deterministic eval every N updates (0 = off)")
     p.add_argument("--eval-size", type=int, default=500,
@@ -184,6 +193,12 @@ def main(argv=None):
     start_update = 0
     if args.resume:
         ts, start_update = ckpt_util.restore_train_state(args.resume, ts)
+    elif args.init_params_from:
+        warm, _ = ckpt_util.restore_train_state(
+            args.init_params_from, ts, step=args.init_params_step)
+        ts = ts.replace(params=warm.params)   # params only: fresh optimizer,
+        print(f"warm-started params from {args.init_params_from}"  # envs, lr
+              f" (step {args.init_params_step or 'latest'})")
 
     num_updates = int(cfg.ppo.num_env_steps) // cfg.ppo.num_steps \
         // cfg.ppo.num_processes
