@@ -117,14 +117,12 @@ def update_last_human_states(cfg: Config, state: EnvState, visibility,
 # crowd engine: one action per human
 # --------------------------------------------------------------------------
 
-def get_human_actions(cfg: Config, state: EnvState) -> jnp.ndarray:
-    """New velocities for all humans (crowd_sim.py:680-703).
-
-    Each human acts on the *true* states of peers it sees (humans replace
-    unseen peers with a dummy at (7,7)), plus the robot iff robot.visible and
-    in view. Everything is one fixed-shape (A, A+1) neighbor tensor fed to the
-    vmapped ORCA / social-force kernels.
-    """
+def build_human_neighbor_inputs(cfg: Config, state: EnvState):
+    """Fixed-shape neighbor tensors for the scripted human policies
+    (crowd_sim.py:680-703): each human acts on the *true* states of peers it
+    sees (unseen peers become a dummy at (7,7)), plus the robot iff
+    robot.visible and in view. Returns (nbr_pos, nbr_vel, nbr_radius,
+    nbr_mask, active) with neighbor axis A (+1 when the robot is visible)."""
     A = cfg.sim.max_human_num
     vis = human_pair_visibility(cfg, state)                      # (A, A)
     eye = jnp.eye(A, dtype=bool)
@@ -150,14 +148,31 @@ def get_human_actions(cfg: Config, state: EnvState) -> jnp.ndarray:
         nbr_vel = jnp.concatenate([nbr_vel, r_vel[:, None, :]], axis=1)
         nbr_radius = jnp.concatenate([nbr_radius, r_rad[:, None]], axis=1)
         nbr_mask = jnp.concatenate([nbr_mask, r_mask[:, None]], axis=1)
+    return nbr_pos, nbr_vel, nbr_radius, nbr_mask, active
+
+
+def orca_pref_velocity(state: EnvState) -> jnp.ndarray:
+    """Unit-clipped preferred velocity toward each human's goal
+    (reference orca.py:98-100)."""
+    goal_vec = state.humans.goal - state.humans.pos
+    speed = jnp.linalg.norm(goal_vec, axis=-1)
+    return jnp.where((speed > 1.0)[:, None],
+                     goal_vec / jnp.maximum(speed, 1e-9)[:, None], goal_vec)
+
+
+def get_human_actions(cfg: Config, state: EnvState) -> jnp.ndarray:
+    """New velocities for all humans (crowd_sim.py:680-703) for ONE env.
+
+    The fused batched rollout path instead precomputes these across the env
+    batch (env/vector.py) so ORCA's LP3 fallback can hide behind a
+    batch-level cond; this per-env version (LP3 always computed) serves
+    single-env callers and the social-force path."""
+    nbr_pos, nbr_vel, nbr_radius, nbr_mask, active = \
+        build_human_neighbor_inputs(cfg, state)
 
     if cfg.humans.policy == "orca":
         inflate = 0.01 + cfg.orca.safety_space                   # orca.py:85-89
-        goal_vec = state.humans.goal - state.humans.pos
-        speed = jnp.linalg.norm(goal_vec, axis=-1)
-        pref_vel = jnp.where((speed > 1.0)[:, None],
-                             goal_vec / jnp.maximum(speed, 1e-9)[:, None],
-                             goal_vec)                            # orca.py:98-100
+        pref_vel = orca_pref_velocity(state)
         params = OrcaParams(cfg.env.time_step, cfg.orca.time_horizon,
                             state.orca_neighbor_dist)
         act = jax.vmap(orca_velocity,
@@ -636,7 +651,7 @@ def scripted_robot_action(cfg: Config, state: EnvState, policy: str):
 
 
 def step(cfg: Config, state: EnvState, action, phase: str = "train",
-         robot_policy: str = "network"
+         robot_policy: str = "network", human_actions=None
          ) -> Tuple[EnvState, Observation, jnp.ndarray, jnp.ndarray, StepInfo]:
     """One control step (crowd_sim_var_num.py:366-460 / crowd_sim_pred.py:100-213).
 
@@ -644,6 +659,10 @@ def step(cfg: Config, state: EnvState, action, phase: str = "train",
     unicycle; clipping happens here (srnn.py:17-44). ``robot_policy``:
     'network' uses ``action``; 'orca'/'social_force' run the scripted
     baselines on the robot's belief states (ignoring ``action``).
+    ``human_actions``: optional precomputed (A, 2) human velocities — the
+    batched rollout hoists the ORCA solve out of the per-env vmap (the state
+    consumed there is identical: human actions depend only on the pre-step
+    state, not on the robot action or the split key).
     """
     key, k_dyn = jax.random.split(state.key)
     state = state.replace(key=key)
@@ -663,7 +682,8 @@ def step(cfg: Config, state: EnvState, action, phase: str = "train",
         a = kinematics.clip_holonomic_action(action, state.robot.v_pref)
         action_v, action_r = jnp.linalg.norm(a), jnp.float32(0.0)
 
-    human_actions = get_human_actions(cfg, state)
+    if human_actions is None:
+        human_actions = get_human_actions(cfg, state)
 
     # refresh truth future traj for intrusion accounting in test phase
     # (crowd_sim_var_num.py:385-388)

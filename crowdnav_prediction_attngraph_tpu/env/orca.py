@@ -244,3 +244,38 @@ orca_velocity_crowd = jax.vmap(
     orca_velocity,
     in_axes=(0, 0, 0, 0, 0, 0, 0, 0, 0, None),
 )
+
+
+def orca_velocity_batch(ego_pos, ego_vel, ego_radius, ego_max_speed, pref_vel,
+                        nbr_pos, nbr_vel, nbr_radius, nbr_mask,
+                        time_step: float, time_horizon: float, neighbor_dist):
+    """Flat-batch ORCA (E egos, each with its own neighbor slice and
+    ``neighbor_dist`` (E,)) with a BATCH-LEVEL lazy LP3.
+
+    ``orca_velocity`` under vmap always pays the LP3 projection pass — a
+    sequential O(lines^2) fori_loop nest (~440 tiny steps) — because a
+    per-ego ``lax.cond`` inside vmap lowers to a select that executes both
+    branches. Infeasible LP2s are rare in steady state (dense collision
+    states only), so here LP2 runs vectorized for every ego and the LP3 pass
+    sits behind ONE top-level ``lax.cond`` over the whole batch: on the
+    common all-feasible step the expensive nest is skipped entirely.
+    Results are bit-identical to ``orca_velocity`` either way (LP3 output is
+    only selected where LP2 failed)."""
+
+    def lines_lp2(ep, ev, er, ems, pv, np_, nv, nr, nm, nd):
+        params = OrcaParams(time_step, time_horizon, nd)
+        d, p, valid = orca_lines(ep, ev, er, np_, nv, nr, nm, params)
+        res, fail = _lp2(d, p, valid, ems, pv, False)
+        return d, p, valid, res, fail
+
+    d, p, valid, res, fail = jax.vmap(lines_lp2)(
+        ego_pos, ego_vel, ego_radius, ego_max_speed, pref_vel,
+        nbr_pos, nbr_vel, nbr_radius, nbr_mask, neighbor_dist)
+    n = d.shape[1]
+    needs = fail < n
+
+    def run_lp3(res):
+        lp3 = jax.vmap(_lp3)(d, p, valid, fail, ego_max_speed, res)
+        return jnp.where(needs[:, None], lp3, res)
+
+    return jax.lax.cond(jnp.any(needs), run_lp3, lambda r: r, res)

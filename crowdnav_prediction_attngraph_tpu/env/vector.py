@@ -23,14 +23,49 @@ def vec_reset(cfg: Config, key, n_envs: int):
     return jax.vmap(lambda k: crowd_sim.reset(cfg, k))(keys)
 
 
+def batched_human_actions(cfg: Config, states: EnvState):
+    """ORCA for every human of every env in one flat batch, with the LP3
+    projection pass behind a single batch-level cond (env/orca.py::
+    orca_velocity_batch) — a per-env cond under vmap would lower to a select
+    that always pays the sequential O(lines^2) LP3 nest. Non-ORCA crowd
+    policies return None (the per-env path inside step handles them)."""
+    if cfg.humans.policy != "orca":
+        return None
+    from .crowd_sim import build_human_neighbor_inputs, orca_pref_velocity
+    from .orca import orca_velocity_batch
+
+    nbr_pos, nbr_vel, nbr_radius, nbr_mask, active = jax.vmap(
+        lambda s: build_human_neighbor_inputs(cfg, s))(states)
+    pref_vel = jax.vmap(orca_pref_velocity)(states)
+    inflate = 0.01 + cfg.orca.safety_space
+    B, A = nbr_mask.shape[:2]
+    flat = lambda x: x.reshape((B * A,) + x.shape[2:])
+    nd = jnp.broadcast_to(states.orca_neighbor_dist[:, None], (B, A))
+    act = orca_velocity_batch(
+        flat(states.humans.pos), flat(states.humans.vel),
+        flat(states.humans.radius + inflate), flat(states.humans.v_pref),
+        flat(pref_vel), flat(nbr_pos), flat(nbr_vel),
+        flat(nbr_radius + inflate), flat(nbr_mask),
+        cfg.env.time_step, cfg.orca.time_horizon, flat(nd))
+    act = act.reshape(B, A, 2)
+    return jnp.where(active[:, :, None], act, 0.0)
+
+
 def vec_step(cfg: Config, states: EnvState, actions, phase: str = "train",
              gst_params=None):
     """Batched step with auto-reset. Returns (states', obs', rewards (B,),
     dones (B,), infos, pretext_penalties (B,)) — the penalty component is
     reported separately so episode-reward metrics can match the reference's
     Monitor (which sits below the predictor wrapper and excludes it)."""
-    states, obs, rew, done, info = jax.vmap(
-        lambda s, a: crowd_sim.step(cfg, s, a, phase))(states, actions)
+    human_actions = batched_human_actions(cfg, states)
+    if human_actions is None:
+        states, obs, rew, done, info = jax.vmap(
+            lambda s, a: crowd_sim.step(cfg, s, a, phase))(states, actions)
+    else:
+        states, obs, rew, done, info = jax.vmap(
+            lambda s, a, h: crowd_sim.step(cfg, s, a, phase,
+                                           human_actions=h))(
+                states, actions, human_actions)
 
     # auto-reset (worker semantics: obs of done envs is the new episode's
     # first obs; reward/done refer to the terminated step)

@@ -95,6 +95,11 @@ def main(argv=None):
     p.add_argument("--render-out", default=None,
                    help="GIF path for --visualize (default "
                         "<model-dir>/test/case_<N>.gif)")
+    p.add_argument("--gst-matmul-dtype", default=None,
+                   choices=["f32", "bf16"],
+                   help="override the GST predictor's inference matmul "
+                        "dtype (A/B the bf16 fast path against a snapshot "
+                        "trained either way)")
     args = p.parse_args(argv)
     _apply_platform_env()
 
@@ -110,6 +115,9 @@ def main(argv=None):
     if getattr(args, "orca_stale_radii", False):
         cfg = cfg.replace(orca=dataclasses.replace(
             cfg.orca, stale_neighbor_radii=True))
+    if args.gst_matmul_dtype:
+        cfg = cfg.replace(pred=dataclasses.replace(
+            cfg.pred, matmul_dtype=args.gst_matmul_dtype))
 
     gst_params = load_gst_params(cfg, args.gst_model_dir)
 
