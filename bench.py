@@ -121,12 +121,17 @@ def main():
     from crowdnav_prediction_attngraph_tpu.algo import ppo as ppo_mod
     from crowdnav_prediction_attngraph_tpu.train import load_gst_params
 
+    import dataclasses
+
     num_envs = int(os.environ.get("BENCH_ENVS", "256"))
     num_steps = 30
     cfg = gst_config(human_num=20)
     cfg = cfg.replace(ppo=cfg.ppo.__class__(
         num_processes=num_envs, num_steps=num_steps, num_mini_batch=2,
         ppo_epoch=5))
+    # production recipe (train.py --gst-matmul-dtype default): predictor
+    # inference matmuls in bf16, f32 softmax/renorm/accumulation
+    cfg = cfg.replace(pred=dataclasses.replace(cfg.pred, matmul_dtype="bf16"))
 
     try:
         gst_params = load_gst_params(cfg, None)
@@ -148,13 +153,24 @@ def main():
     jax.block_until_ready(m["value_loss"])
 
     iters = int(os.environ.get("BENCH_ITERS", "20"))
+    # Headline: the PIPELINED regime — how train.py actually runs since its
+    # metric reads were deferred (host enqueues iterations back-to-back and
+    # only syncs at log boundaries). Blocking every iteration costs ~20 ms
+    # of lost dispatch overlap on the tunneled TPU (PROFILE_r04).
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        ts, m = it(ts)
+    jax.block_until_ready(m["value_loss"])
+    dt_mean = (time.perf_counter() - t0) / iters
+
+    # block-per-iteration variant kept for comparability with r1-r3 numbers
     times = []
     for _ in range(iters):
         t0 = time.perf_counter()
         ts, m = it(ts)
         jax.block_until_ready(m["value_loss"])
         times.append(time.perf_counter() - t0)
-    dt_mean = float(np.mean(times))
+    dt_blocked = float(np.mean(times))
     dt_std = float(np.std(times))
 
     steps_per_s = num_envs * num_steps / dt_mean
@@ -164,7 +180,9 @@ def main():
         "iters": iters,
         "num_envs": num_envs,
         "iter_ms_mean": round(dt_mean * 1e3, 2),
+        "iter_ms_blocked": round(dt_blocked * 1e3, 2),
         "iter_ms_std": round(dt_std * 1e3, 2),
+        "gst_matmul_dtype": cfg.pred.matmul_dtype,
     }
     try:
         cost = it.lower(ts).compile().cost_analysis()

@@ -123,6 +123,13 @@ class OrcaConfig:
     # the current beliefs, to quantify how much of the reference's higher
     # collision rate that staleness explains.
     stale_neighbor_radii: bool = False
+    # Hoist the crowd ORCA solve out of the per-env vmap and run the LP3
+    # projection pass behind a batch-level cond (env/orca.py::
+    # orca_velocity_batch). Bit-identical results; measured SLOWER at the
+    # flagship density (17% of egos hit infeasible LP2s, so the cond always
+    # fires and only adds a fusion barrier: +19 ms on the 30-step rollout) —
+    # enable for sparse-crowd configs where infeasibility is actually rare.
+    lazy_lp3: bool = False
 
 
 @_frozen

@@ -20,6 +20,7 @@ the (static) max line count.
 
 from __future__ import annotations
 
+import os
 from functools import partial
 from typing import NamedTuple, Tuple
 
@@ -28,6 +29,12 @@ import jax.numpy as jnp
 
 _EPS = 1e-5      # RVO_EPSILON
 _SAFE = 1e-9     # guard against 0/0 in degenerate (coincident-agent) states
+
+# A/B toggles for the sequential-LP cost inside the fused train program
+# (see RESULTS.md round-4 notes): dynamic inner bound halves LP3's nest in
+# isolation but interacts with XLA scheduling of the full program.
+_DYN_LIMIT = os.environ.get("ORCA_DYN_LIMIT", "1") != "0"
+_UNROLL = int(os.environ.get("ORCA_UNROLL", "3"))
 
 
 def _det(a, b):
@@ -151,10 +158,15 @@ def _lp1(lines_dir, lines_pt, constraint_mask, line_no, radius, opt_vel,
 
 
 def _lp2(lines_dir, lines_pt, line_valid, radius, opt_vel,
-         direction_opt: bool):
+         direction_opt: bool, n_limit=None):
     """RVO2 linearProgram2: sequential incremental 2D LP over masked lines.
 
     Returns (result, fail_idx); fail_idx == N means fully feasible.
+    ``n_limit`` (possibly traced) bounds the loop to the first ``n_limit``
+    lines — LP3's inner calls only ever constrain on lines j < i, so passing
+    i halves the sequential work of the dominant O(lines^2) nest (the
+    skipped iterations were provably no-ops under the ``idx < n_limit``
+    validity mask).
     """
     n = lines_dir.shape[0]
     if direction_opt:
@@ -178,7 +190,10 @@ def _lp2(lines_dir, lines_pt, line_valid, radius, opt_vel,
         fail = jnp.where(need & ~feas, i, fail)
         return result, fail
 
-    return jax.lax.fori_loop(0, n, body, (result0, jnp.int32(n)))
+    if n_limit is None or not _DYN_LIMIT:
+        return jax.lax.fori_loop(0, n, body, (result0, jnp.int32(n)),
+                                 unroll=_UNROLL)
+    return jax.lax.fori_loop(0, n_limit, body, (result0, jnp.int32(n)))
 
 
 def _lp3(lines_dir, lines_pt, line_valid, fail_begin, radius, result):
@@ -210,13 +225,18 @@ def _lp3(lines_dir, lines_pt, line_valid, fail_begin, radius, result):
         proj_valid = line_valid & (idx < i) & ~(parallel & same_dir)
 
         perp = jnp.array([-d_i[1], d_i[0]])
-        res2, fail2 = _lp2(proj_dir, proj_pt, proj_valid, radius, perp, True)
+        # only lines j < i are valid constraints here (proj_valid masks them),
+        # so bound the inner LP at i — cuts the nest from n^2 to n(n-1)/2
+        res2, fail2 = _lp2(proj_dir, proj_pt, proj_valid, radius, perp, True,
+                           n_limit=i)
         ok = fail2 == n
         new_result = jnp.where(need & ok, res2, result)
         new_distance = jnp.where(need, _det(d_i, p_i - new_result), distance)
         return new_result, new_distance
 
-    result, _ = jax.lax.fori_loop(0, n, body, (result, jnp.zeros((), result.dtype)))
+    result, _ = jax.lax.fori_loop(0, n, body,
+                                  (result, jnp.zeros((), result.dtype)),
+                                  unroll=_UNROLL)
     return result
 
 

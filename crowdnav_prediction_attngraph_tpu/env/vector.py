@@ -29,7 +29,7 @@ def batched_human_actions(cfg: Config, states: EnvState):
     orca_velocity_batch) — a per-env cond under vmap would lower to a select
     that always pays the sequential O(lines^2) LP3 nest. Non-ORCA crowd
     policies return None (the per-env path inside step handles them)."""
-    if cfg.humans.policy != "orca":
+    if cfg.humans.policy != "orca" or not cfg.orca.lazy_lp3:
         return None
     from .crowd_sim import build_human_neighbor_inputs, orca_pref_velocity
     from .orca import orca_velocity_batch

@@ -69,6 +69,12 @@ def build_config(args) -> Config:
     if getattr(args, "kinematics", None):
         cfg = cfg.replace(action_space=dataclasses.replace(
             cfg.action_space, kinematics=args.kinematics))
+    if getattr(args, "gst_matmul_dtype", None):
+        # the production training recipe runs the predictor's inference
+        # matmuls in bf16 (f32 softmax/renorm/accumulation) — recorded in the
+        # config snapshot so test.py reproduces the exact compute path
+        cfg = cfg.replace(pred=dataclasses.replace(
+            cfg.pred, matmul_dtype=args.gst_matmul_dtype))
     return cfg
 
 
@@ -119,6 +125,11 @@ def main(argv=None):
     p.add_argument("--log-interval", type=int, default=20)
     p.add_argument("--save-interval", type=int, default=200)
     p.add_argument("--gst-model-dir", default=None)
+    p.add_argument("--gst-matmul-dtype", default="bf16",
+                   choices=["f32", "bf16"],
+                   help="GST predictor inference matmul dtype inside the "
+                        "fused rollout (bf16 = production default, ~16%% "
+                        "faster rollout; f32 for strict-parity runs)")
     p.add_argument("--no-randomize-attributes", dest="randomize_attributes",
                    action="store_false",
                    help="fixed human v_pref/radius (the reference's "
@@ -208,26 +219,36 @@ def main(argv=None):
     start = time.time()
     csv_path = os.path.join(args.output_dir, "progress.csv")
 
+    # Deferred metric materialization: np.asarray(metrics[...]) right after
+    # iteration() forces a host<->device sync every update, which serializes
+    # dispatch and costs ~20 ms/iteration of pipelining on the tunneled TPU
+    # (PROFILE_r04). Metrics are tiny; buffer the device trees and pull them
+    # only at log/eval boundaries.
+    pending = []
+
+    def flush_pending():
+        for m in pending:
+            if args.multihost:
+                c = float(m["done_count"])
+                if c > 0:
+                    episode_rewards.append(float(m["done_sum"]) / c)
+                    episode_rewards_env.append(float(m["done_sum_env"]) / c)
+            else:
+                done_rets = np.asarray(m["done_returns"])
+                episode_rewards.extend(
+                    done_rets[~np.isnan(done_rets)].tolist())
+                done_rets_env = np.asarray(m["done_returns_env"])
+                episode_rewards_env.extend(
+                    done_rets_env[~np.isnan(done_rets_env)].tolist())
+        pending.clear()
+
     for j in range(start_update, num_updates):
         ts, metrics = iteration(ts)
-
-        if args.multihost:
-            # dp-sharded done_returns are not host-addressable; use the
-            # replicated scalar reductions for the rolling means instead
-            c = float(metrics["done_count"])
-            if c > 0:
-                episode_rewards.append(float(metrics["done_sum"]) / c)
-                episode_rewards_env.append(
-                    float(metrics["done_sum_env"]) / c)
-        else:
-            done_rets = np.asarray(metrics["done_returns"])
-            episode_rewards.extend(done_rets[~np.isnan(done_rets)].tolist())
-            done_rets_env = np.asarray(metrics["done_returns_env"])
-            episode_rewards_env.extend(
-                done_rets_env[~np.isnan(done_rets_env)].tolist())
+        pending.append(metrics)
 
         if args.eval_interval and j % args.eval_interval == 0 and j > 0 \
                 and not args.multihost:
+            flush_pending()
             from .algo import evaluation
             r = evaluation.evaluate(cfg, ts.params, gst_params,
                                     test_size=args.eval_size, phase="val")
@@ -256,6 +277,8 @@ def main(argv=None):
             ckpt_util.save_train_state(
                 os.path.join(args.output_dir, "checkpoints"), ts, j)
 
+        if j % args.log_interval == 0:
+            flush_pending()
         if j % args.log_interval == 0 and len(episode_rewards) > 1 \
                 and is_main:
             total_num_steps = (j + 1) * cfg.ppo.num_processes * cfg.ppo.num_steps

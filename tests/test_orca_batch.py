@@ -44,6 +44,7 @@ def test_batch_matches_per_ego_random():
 def test_vec_step_hoist_matches_per_env(make_cfg):
     """batched_human_actions == vmap(get_human_actions) over live env states,
     stepped several times so crowds actually interact."""
+    import dataclasses
     cfg = make_cfg(human_num=6)
     if cfg.sim.predict_method == "inferred":
         # drive the env core only (no predictor weights needed here)
@@ -51,6 +52,7 @@ def test_vec_step_hoist_matches_per_env(make_cfg):
             env_name="CrowdSimPred",
             sim=cfg.sim.__class__(
                 **{**cfg.sim.__dict__, "predict_method": "truth"}))
+    cfg = cfg.replace(orca=dataclasses.replace(cfg.orca, lazy_lp3=True))
     B = 8
     states, _ = vector.vec_reset(cfg, jax.random.key(0), B)
     step = jax.jit(lambda s: vector.vec_step(
