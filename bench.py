@@ -57,7 +57,7 @@ def _time(f, *args, iters=20):
 
 
 def bench_edges(rows: int, A: int = 20, D: int = 512, H: int = 8,
-                iters: int = 20):
+                iters: int = 20, chain: int = 8):
     """edges/s + MFU of the PRODUCTION attention block — the fully fused
     fused_graph_attention (QKV projection + block-diagonal masked MHA + out
     projection in one Pallas kernel), forward AND forward+backward, plus the
@@ -67,7 +67,15 @@ def bench_edges(rows: int, A: int = 20, D: int = 512, H: int = 8,
     the 8*A*D^2 projection FLOPs per row plus the 4*A^2*D attention FLOPs;
     fwd+bwd counts 3x (one forward + two backward matmuls per forward
     matmul, the standard convention) even though the backward also pays a
-    flash-style recompute."""
+    flash-style recompute.
+
+    Each timed program CHAINS ``chain`` applications of the block under one
+    jit (the op is shape-preserving), because that is how the op runs in
+    production — 30 calls inside the fused rollout scan, 10 inside the
+    update loop. A single standalone call instead pays this tunneled TPU's
+    ~1.3 ms dispatch floor, which at rollout row counts (256-480) is LARGER
+    than the kernel itself and made r3's small-rows numbers meaningless
+    (both paths pinned at the floor, ratio 1.0)."""
     from crowdnav_prediction_attngraph_tpu.ops.masked_attention import (
         fused_graph_attention, reference_fused_graph_attention)
     rng = np.random.RandomState(0)
@@ -78,33 +86,41 @@ def bench_edges(rows: int, A: int = 20, D: int = 512, H: int = 8,
     b_out = jnp.asarray(rng.randn(D) * 0.01, jnp.float32)
     det = rng.randint(1, A + 1, rows)
     mask = jnp.asarray(np.arange(A)[None, :] < det[:, None])
-    edges = rows * A * A
-    flops_fwd = 8 * rows * A * D * D + 4 * rows * A * A * D
+    edges = rows * A * A * chain
+    flops_fwd = (8 * rows * A * D * D + 4 * rows * A * A * D) * chain
     peak = _peak_flops()
-    out = {}
+    out = {"chain": chain}
 
-    f_ref = jax.jit(lambda x: reference_fused_graph_attention(
-        x, mask, w_qkv, b_qkv, w_out, b_out, H))
+    def chained(attn_fn):
+        def run(x, wq, bq, wo, bo):
+            def body(c, _):
+                return attn_fn(c * 0.5, mask, wq, bq, wo, bo, H), None
+            o, _ = jax.lax.scan(body, x, None, length=chain)
+            return o
+        return run
+
+    f_ref = jax.jit(lambda x: chained(reference_fused_graph_attention)(
+        x, w_qkv, b_qkv, w_out, b_out))
     dt = _time(f_ref, x, iters=iters)
     out["edges_per_s_einsum"] = edges / dt
     out["fused_mfu_einsum_fwd"] = flops_fwd / dt / peak
 
     g_ref = jax.jit(jax.grad(lambda x, wq, bq, wo, bo: jnp.sum(
-        reference_fused_graph_attention(x, mask, wq, bq, wo, bo, H) ** 2),
+        chained(reference_fused_graph_attention)(x, wq, bq, wo, bo) ** 2),
         argnums=(0, 1, 2, 3, 4)))
     dt = _time(g_ref, x, w_qkv, b_qkv, w_out, b_out, iters=iters)
     out["edges_per_s_einsum_fwdbwd"] = edges / dt
     out["fused_mfu_einsum_fwdbwd"] = 3 * flops_fwd / dt / peak
 
     try:
-        f_pal = jax.jit(lambda x: fused_graph_attention(
-            x, mask, w_qkv, b_qkv, w_out, b_out, H))
+        f_pal = jax.jit(lambda x: chained(fused_graph_attention)(
+            x, w_qkv, b_qkv, w_out, b_out))
         dt = _time(f_pal, x, iters=iters)
         out["edges_per_s_fused"] = edges / dt
         out["fused_mfu_fwd"] = flops_fwd / dt / peak
 
         g_pal = jax.jit(jax.grad(lambda x, wq, bq, wo, bo: jnp.sum(
-            fused_graph_attention(x, mask, wq, bq, wo, bo, H) ** 2),
+            chained(fused_graph_attention)(x, wq, bq, wo, bo) ** 2),
             argnums=(0, 1, 2, 3, 4)))
         dt = _time(g_pal, x, w_qkv, b_qkv, w_out, b_out, iters=iters)
         out["edges_per_s_fused_fwdbwd"] = edges / dt
