@@ -235,17 +235,23 @@ def _fused_diffable(x, mask, w_qkv, b_qkv, w_out, b_out, static):
     steps. Gradients are gradients OF THE EXECUTED forward (same compute
     dtype), unlike the round-2 scheme that rematerialized the f32 XLA
     reference and cost a full extra forward per gradient step."""
-    return _fused_forward(x, mask, w_qkv, b_qkv, w_out, b_out, *static)
+    nh, r_blk, cd, strip, _bwd_strip, interp = static
+    return _fused_forward(x, mask, w_qkv, b_qkv, w_out, b_out,
+                          nh, r_blk, cd, strip, interp)
 
 
 def _fused_diffable_fwd(x, mask, w_qkv, b_qkv, w_out, b_out, static):
-    out = _fused_forward(x, mask, w_qkv, b_qkv, w_out, b_out, *static)
+    nh, r_blk, cd, strip, _bwd_strip, interp = static
+    out = _fused_forward(x, mask, w_qkv, b_qkv, w_out, b_out,
+                         nh, r_blk, cd, strip, interp)
     return out, (x, mask, w_qkv, b_qkv, w_out, b_out)
 
 
 def _fused_diffable_bwd(static, res, g):
     x, mask, w_qkv, b_qkv, w_out, b_out = res
-    grads = _fused_backward(x, mask, w_qkv, b_qkv, w_out, b_out, g, *static)
+    nh, r_blk, cd, strip, bwd_strip, interp = static
+    grads = _fused_backward(x, mask, w_qkv, b_qkv, w_out, b_out, g,
+                            nh, r_blk, cd, bwd_strip or strip, interp)
     dx, dwq, dbq, dwo, dbo = grads
     import numpy as _np
     dmask = _np.zeros(mask.shape, dtype=jax.dtypes.float0)
@@ -431,12 +437,16 @@ def fused_graph_attention(x, mask, w_qkv, b_qkv, w_out, b_out,
                           num_heads: int, r_blk: int | None = None,
                           compute_dtype=jnp.bfloat16,
                           strip_rows: int | None = None,
+                          bwd_strip_rows: int | None = None,
                           interpret: bool = False):
     """Differentiable entry point — see _fused_forward for the kernel and
-    _fused_diffable for the VJP story."""
+    _fused_diffable for the VJP story. ``bwd_strip_rows`` lets the backward
+    kernel use a larger strip than the forward: the bwd's per-strip
+    projection-sized matmuls (qkv recompute, dx, dW) dominate its time, so
+    fewer/larger strips win there while the forward's optimum stays small."""
     static = (num_heads, r_blk,
               "bf16" if compute_dtype == jnp.bfloat16 else "f32",
-              strip_rows, interpret)
+              strip_rows, bwd_strip_rows, interpret)
     return _fused_diffable(x, mask, w_qkv, b_qkv, w_out, b_out, static)
 
 
