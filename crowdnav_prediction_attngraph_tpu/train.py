@@ -69,6 +69,9 @@ def build_config(args) -> Config:
     if getattr(args, "kinematics", None):
         cfg = cfg.replace(action_space=dataclasses.replace(
             cfg.action_space, kinematics=args.kinematics))
+    if getattr(args, "robot_v_pref", None):
+        cfg = cfg.replace(robot=dataclasses.replace(
+            cfg.robot, v_pref=args.robot_v_pref))
     if getattr(args, "gst_matmul_dtype", None):
         # the production training recipe runs the predictor's inference
         # matmuls in bf16 (f32 softmax/renorm/accumulation) — recorded in the
@@ -138,6 +141,12 @@ def main(argv=None):
     p.add_argument("--kinematics", default=None,
                    choices=["holonomic", "unicycle"],
                    help="robot action space (reference config.py:113)")
+    p.add_argument("--robot-v-pref", type=float, default=None,
+                   help="robot max speed (reference config.py:103 default "
+                        "1.0). The sim2real TurtleBot2i physically caps at "
+                        "0.035/2*35 = 0.6125 m/s (wheel clip, "
+                        "ros_turtlebot2i_env.py:294-308), so unicycle "
+                        "training for deployment should use <= 0.6")
     p.add_argument("--resume", default=None,
                    help="checkpoint directory to resume from")
     p.add_argument("--init-params-from", default=None,
