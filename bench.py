@@ -18,6 +18,12 @@ import time
 
 import jax
 
+# honor JAX_PLATFORMS despite the container's pre-registered axon TPU plugin
+# (whose registration otherwise wins over the env var)
+_want = os.environ.get("JAX_PLATFORMS")
+if _want and "axon" not in _want:
+    jax.config.update("jax_platforms", _want)
+
 jax.config.update("jax_compilation_cache_dir",
                   os.path.join(os.path.dirname(os.path.abspath(__file__)),
                                ".jax_cache"))
@@ -99,18 +105,27 @@ def bench_edges(rows: int, A: int = 20, D: int = 512, H: int = 8,
             return o
         return run
 
-    f_ref = jax.jit(lambda x: chained(reference_fused_graph_attention)(
-        x, w_qkv, b_qkv, w_out, b_out))
-    dt = _time(f_ref, x, iters=iters)
-    out["edges_per_s_einsum"] = edges / dt
-    out["fused_mfu_einsum_fwd"] = flops_fwd / dt / peak
+    # every sub-measurement fails soft: a remote-compiler crash (HTTP 500 —
+    # observed for some chained grads) must degrade one cell, not kill the
+    # whole bench JSON line the driver depends on
+    try:
+        f_ref = jax.jit(lambda x: chained(reference_fused_graph_attention)(
+            x, w_qkv, b_qkv, w_out, b_out))
+        dt = _time(f_ref, x, iters=iters)
+        out["edges_per_s_einsum"] = edges / dt
+        out["fused_mfu_einsum_fwd"] = flops_fwd / dt / peak
+    except Exception as e:
+        out["einsum_error"] = str(e)[:120]
 
-    g_ref = jax.jit(jax.grad(lambda x, wq, bq, wo, bo: jnp.sum(
-        chained(reference_fused_graph_attention)(x, wq, bq, wo, bo) ** 2),
-        argnums=(0, 1, 2, 3, 4)))
-    dt = _time(g_ref, x, w_qkv, b_qkv, w_out, b_out, iters=iters)
-    out["edges_per_s_einsum_fwdbwd"] = edges / dt
-    out["fused_mfu_einsum_fwdbwd"] = 3 * flops_fwd / dt / peak
+    try:
+        g_ref = jax.jit(jax.grad(lambda x, wq, bq, wo, bo: jnp.sum(
+            chained(reference_fused_graph_attention)(x, wq, bq, wo, bo) ** 2),
+            argnums=(0, 1, 2, 3, 4)))
+        dt = _time(g_ref, x, w_qkv, b_qkv, w_out, b_out, iters=iters)
+        out["edges_per_s_einsum_fwdbwd"] = edges / dt
+        out["fused_mfu_einsum_fwdbwd"] = 3 * flops_fwd / dt / peak
+    except Exception as e:
+        out["einsum_bwd_error"] = str(e)[:120]
 
     try:
         f_pal = jax.jit(lambda x: chained(fused_graph_attention)(
@@ -127,7 +142,7 @@ def bench_edges(rows: int, A: int = 20, D: int = 512, H: int = 8,
         out["fused_mfu_fwdbwd"] = 3 * flops_fwd / dt / peak
     except Exception as e:
         out["pallas_error"] = str(e)[:120]
-    out["edges_per_s"] = max(out["edges_per_s_einsum"],
+    out["edges_per_s"] = max(out.get("edges_per_s_einsum", 0.0),
                              out.get("edges_per_s_fused", 0.0))
     return out
 
@@ -211,14 +226,25 @@ def main():
     # north-star kernel metric at the flagship update-path shape
     # (rows = num_steps * 64 envs of the reference-recipe minibatch), with
     # a rollout-scale and a large-batch point alongside
-    edges = bench_edges(rows=1920, A=cfg.sim.max_human_num)
-    for k, v in edges.items():
-        extra[k] = round(v, 5) if isinstance(v, float) else v
-    for rows in (480, 7680):
-        e = bench_edges(rows=rows, A=cfg.sim.max_human_num, iters=10)
-        extra[f"edges_rows{rows}"] = {
-            k: round(v, 5) if isinstance(v, float) else v
-            for k, v in e.items()}
+    on_cpu = jax.default_backend() == "cpu"
+    try:
+        # CPU (verification) runs shrink the workload ~100x — the chained
+        # kernels are sized for the TPU and would take minutes per cell
+        e_iters, e_chain = (2, 2) if on_cpu else (20, 8)
+        main_rows, more_rows = ((96, (48,)) if on_cpu
+                                else (1920, (480, 7680)))
+        edges = bench_edges(rows=main_rows, A=cfg.sim.max_human_num,
+                            iters=e_iters, chain=e_chain)
+        for k, v in edges.items():
+            extra[k] = round(v, 5) if isinstance(v, float) else v
+        for rows in more_rows:
+            e = bench_edges(rows=rows, A=cfg.sim.max_human_num,
+                            iters=max(e_iters // 2, 2), chain=e_chain)
+            extra[f"edges_rows{rows}"] = {
+                k: round(v, 5) if isinstance(v, float) else v
+                for k, v in e.items()}
+    except Exception as e:
+        extra["edges_error"] = str(e)[:120]
 
     print(json.dumps({
         "metric": "ppo_env_steps_per_s",
