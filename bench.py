@@ -115,7 +115,7 @@ def bench_edges(rows: int, A: int = 20, D: int = 512, H: int = 8,
         out["edges_per_s_einsum"] = edges / dt
         out["fused_mfu_einsum_fwd"] = flops_fwd / dt / peak
     except Exception as e:
-        out["einsum_error"] = str(e)[:120]
+        out["einsum_error"] = str(e).splitlines()[0][:120]
 
     try:
         g_ref = jax.jit(jax.grad(lambda x, wq, bq, wo, bo: jnp.sum(
@@ -125,7 +125,7 @@ def bench_edges(rows: int, A: int = 20, D: int = 512, H: int = 8,
         out["edges_per_s_einsum_fwdbwd"] = edges / dt
         out["fused_mfu_einsum_fwdbwd"] = 3 * flops_fwd / dt / peak
     except Exception as e:
-        out["einsum_bwd_error"] = str(e)[:120]
+        out["einsum_bwd_error"] = str(e).splitlines()[0][:120]
 
     try:
         f_pal = jax.jit(lambda x: chained(fused_graph_attention)(
@@ -141,7 +141,7 @@ def bench_edges(rows: int, A: int = 20, D: int = 512, H: int = 8,
         out["edges_per_s_fused_fwdbwd"] = edges / dt
         out["fused_mfu_fwdbwd"] = 3 * flops_fwd / dt / peak
     except Exception as e:
-        out["pallas_error"] = str(e)[:120]
+        out["pallas_error"] = str(e).splitlines()[0][:120]
     out["edges_per_s"] = max(out.get("edges_per_s_einsum", 0.0),
                              out.get("edges_per_s_fused", 0.0))
     return out
@@ -244,7 +244,7 @@ def main():
                 k: round(v, 5) if isinstance(v, float) else v
                 for k, v in e.items()}
     except Exception as e:
-        extra["edges_error"] = str(e)[:120]
+        extra["edges_error"] = str(e).splitlines()[0][:120]
 
     print(json.dumps({
         "metric": "ppo_env_steps_per_s",
