@@ -224,6 +224,19 @@ def _pick_strip(r_blk: int, a_pad: int) -> int:
     return best
 
 
+def _pick_bwd_strip(r_blk: int, a_pad: int) -> int:
+    """Backward strip default: the bwd's per-strip projection-sized matmuls
+    (dattn, dx, dW) dominate, so larger strips win there — measured 10.7 vs
+    11.4 ms fwd+bwd at rows=3840 for m=160 vs m=80. m > 160 tokens blows
+    the scoped-VMEM budget (the remote Mosaic compiler dies), hence the
+    160-token cap."""
+    best = 1
+    for g in range(1, r_blk + 1):
+        if r_blk % g == 0 and g * a_pad <= 160:
+            best = g
+    return best
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
 def _fused_diffable(x, mask, w_qkv, b_qkv, w_out, b_out, static):
     """custom_vjp wrapper: pallas_call has no automatic autodiff rule, but
@@ -251,7 +264,7 @@ def _fused_diffable_bwd(static, res, g):
     x, mask, w_qkv, b_qkv, w_out, b_out = res
     nh, r_blk, cd, strip, bwd_strip, interp = static
     grads = _fused_backward(x, mask, w_qkv, b_qkv, w_out, b_out, g,
-                            nh, r_blk, cd, bwd_strip or strip, interp)
+                            nh, r_blk, cd, bwd_strip, interp)
     dx, dwq, dbq, dwo, dbo = grads
     import numpy as _np
     dmask = _np.zeros(mask.shape, dtype=jax.dtypes.float0)
@@ -271,17 +284,27 @@ def _bwd_kernel(x_ref, mask_ref, g_ref, wqkv_ref, wo_ref, bqkv_ref,
     dx for this block and accumulate the weight/bias gradients across grid
     steps into constant-index-map output blocks (sequential TPU grid).
 
-    VMEM discipline: everything is computed PER STRIP of m = strip_rows *
-    a_pad tokens — attention is block-diagonal, so strip s only ever needs
-    tokens [s*m, (s+1)*m) of x/qkv/g/dqkv. No (n, 3D) qkv or dqkv buffer is
-    ever materialized (a full-block variant blew the 16 MB scoped-vmem
-    limit by 3.7 MB at n=640); x and the weights arrive pre-cast to the
-    compute dtype from the wrapper."""
+    VMEM discipline: attention math is computed PER STRIP of m =
+    strip_rows * a_pad tokens — attention is block-diagonal, so strip s
+    only ever needs tokens [s*m, (s+1)*m) of qkv/g/dqkv. The QKV recompute
+    itself is hoisted to ONE block-level matmul stored in the compute dtype
+    (n, 3D bf16 = 2 MB at n=640): splitting it 8 ways per strip cost ~8
+    small-matmul issues per block, while an f32 full-block qkv + dqkv pair
+    blew the 16 MB scoped-vmem limit by 3.7 MB (r3). dqkv stays per-strip.
+    x and the weights arrive pre-cast to the compute dtype from the
+    wrapper. Numerics note: q/k/v used in the recompute round through the
+    compute dtype once more than the forward did (stored vs cast-at-use);
+    at bf16 this is below the kernel's existing grad tolerance
+    (tests/test_pallas_attention.py)."""
     D = x_ref.shape[-1]
     cd = compute_dtype
     wqkv = wqkv_ref[:]                                  # (D, 3D) cd
     wo = wo_ref[:]                                      # (D, D) cd
     bqkv = bqkv_ref[0]                                  # (3D,) f32
+
+    # one block-level QKV recompute, resident in the compute dtype
+    qkv_all = (jnp.dot(x_ref[:], wqkv, preferred_element_type=jnp.float32)
+               + bqkv).astype(cd)                       # (n, 3D) cd
 
     gmask = strip_rows
     num_strips = r_blk // gmask
@@ -305,8 +328,8 @@ def _bwd_kernel(x_ref, mask_ref, g_ref, wqkv_ref, wo_ref, bqkv_ref,
         lo = s_i * m
         xs = x_ref[lo:lo + m, :]                        # (m, D) cd
         gs = g_ref[lo:lo + m, :]                        # (m, D) f32
-        qkv = jnp.dot(xs, wqkv, preferred_element_type=jnp.float32) + bqkv
-        q = qkv[:, :D] * scale
+        qkv = qkv_all[lo:lo + m, :]                     # (m, 3D) cd
+        q = qkv[:, :D]
         k = qkv[:, D:2 * D]
         v = qkv[:, 2 * D:]
         dattn = jnp.dot(gs.astype(cd), wo.T,
@@ -317,9 +340,9 @@ def _bwd_kernel(x_ref, mask_ref, g_ref, wqkv_ref, wo_ref, bqkv_ref,
         a_heads, dq_heads, dk_heads, dv_heads = [], [], [], []
         for h in range(num_heads):
             sl = slice(h * hd, (h + 1) * hd)
-            qh = q[:, sl].astype(cd)
-            kh = k[:, sl].astype(cd)
-            vh = v[:, sl].astype(cd)
+            qh = (q[:, sl] * cd(scale)).astype(cd)
+            kh = k[:, sl]
+            vh = v[:, sl]
             s = jnp.dot(qh, kh.T, preferred_element_type=jnp.float32)
             s = s + bias
             s = s - jnp.max(s, axis=-1, keepdims=True)
@@ -375,7 +398,7 @@ def _fused_backward(x, mask, w_qkv, b_qkv, w_out, b_out, g,
     else:
         _, a_pad = _pick_packing(A, r_blk)
     if strip_rows is None:
-        strip_rows = _pick_strip(r_blk, a_pad)
+        strip_rows = _pick_bwd_strip(r_blk, a_pad)
     rows_pad = ((rows + r_blk - 1) // r_blk) * r_blk
     n = r_blk * a_pad
     num_blocks = rows_pad // r_blk
