@@ -210,6 +210,9 @@ def main():
     extra = {
         "iters": iters,
         "num_envs": num_envs,
+        # iter_ms_mean is PIPELINED (r4+ convention); iter_ms_blocked is the
+        # r1-r3 block-per-iteration convention — compare r1-r3 JSONs to it
+        "iter_ms_convention": "pipelined",
         "iter_ms_mean": round(dt_mean * 1e3, 2),
         "iter_ms_blocked": round(dt_blocked * 1e3, 2),
         "iter_ms_std": round(dt_std * 1e3, 2),

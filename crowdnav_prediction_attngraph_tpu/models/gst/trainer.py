@@ -229,11 +229,10 @@ def train(cfg: PredConfig, train_windows, val_windows, out_dir: str,
         # uncapped collected stream (millions of ~80 KB windows) would OOM
         # the device at startup. Estimate the stacked bytes and degrade to
         # the host-batch path instead of crashing (ADVICE r3).
+        sample = train_windows[:1] + val_windows[:1]
         est_bytes = sum(
-            sum(a.nbytes for a in w.values())
-            for w in (train_windows[:1] + val_windows[:1])) // max(
-                1 + bool(val_windows), 1) * (len(train_windows)
-                                             + len(val_windows))
+            sum(a.nbytes for a in w.values()) for w in sample) // max(
+                len(sample), 1) * (len(train_windows) + len(val_windows))
         budget = int(os.environ.get("GST_FUSED_HBM_BUDGET",
                                     str(8 * 1024 ** 3)))
         if est_bytes > budget:
@@ -259,6 +258,15 @@ def train(cfg: PredConfig, train_windows, val_windows, out_dir: str,
             if val_rem else None
 
     os.makedirs(out_dir, exist_ok=True)
+    # tfevents output matching the reference's tensorboardX scalars
+    # (gst train.py:192-194: 'loss'/'aoe'/'foe' with train/val sub-tags);
+    # CSV/JSON history remains the primary record.
+    writer = None
+    try:
+        from tensorboardX import SummaryWriter
+        writer = SummaryWriter(os.path.join(out_dir, "tensorboard"))
+    except Exception as e:  # tensorboardX is optional
+        print(f"[trainer] tfevents disabled ({type(e).__name__}: {e})")
     hist = {"train_loss": [], "val_loss": [], "train_aoe": [], "val_aoe": [],
             "train_foe": [], "val_foe": []}
     if resume_epoch:
@@ -322,6 +330,11 @@ def train(cfg: PredConfig, train_windows, val_windows, out_dir: str,
                           ("train_foe", t_sums[1] / td),
                           ("val_foe", v_sums[1] / vd)):
             hist[name].append(float(val))
+        if writer is not None:
+            for tag, key in (("loss", "loss"), ("aoe", "aoe"), ("foe", "foe")):
+                writer.add_scalars(tag, {
+                    "train": hist[f"train_{key}"][-1],
+                    "val": hist[f"val_{key}"][-1]}, epoch)
         print(f"Epoch {epoch} | train loss {hist['train_loss'][-1]:.4f} | "
               f"val loss {hist['val_loss'][-1]:.4f} | "
               f"train aoe {hist['train_aoe'][-1]:.4f} | "
@@ -341,6 +354,8 @@ def train(cfg: PredConfig, train_windows, val_windows, out_dir: str,
                            "val_aoe_epoch": hist["val_aoe"][-1],
                            "val_foe_epoch": hist["val_foe"][-1],
                            "epoch": epoch}, f)
+    if writer is not None:
+        writer.close()
     return params, hist
 
 

@@ -302,9 +302,16 @@ def _bwd_kernel(x_ref, mask_ref, g_ref, wqkv_ref, wo_ref, bqkv_ref,
     wo = wo_ref[:]                                      # (D, D) cd
     bqkv = bqkv_ref[0]                                  # (3D,) f32
 
-    # one block-level QKV recompute, resident in the compute dtype
-    qkv_all = (jnp.dot(x_ref[:], wqkv, preferred_element_type=jnp.float32)
-               + bqkv).astype(cd)                       # (n, 3D) cd
+    # one block-level QKV recompute, resident in the compute dtype — but
+    # ONLY at bf16: a full-block f32 qkv is ~3.9 MB at n=640/D=512, the very
+    # buffer that blew the 16 MB scoped-VMEM budget in r3 (ADVICE r4
+    # medium). The f32 strict-parity path recomputes qkv per strip instead.
+    if cd != jnp.float32:
+        qkv_all = (jnp.dot(x_ref[:], wqkv,
+                           preferred_element_type=jnp.float32)
+                   + bqkv).astype(cd)                   # (n, 3D) cd
+    else:
+        qkv_all = None
 
     gmask = strip_rows
     num_strips = r_blk // gmask
@@ -328,7 +335,11 @@ def _bwd_kernel(x_ref, mask_ref, g_ref, wqkv_ref, wo_ref, bqkv_ref,
         lo = s_i * m
         xs = x_ref[lo:lo + m, :]                        # (m, D) cd
         gs = g_ref[lo:lo + m, :]                        # (m, D) f32
-        qkv = qkv_all[lo:lo + m, :]                     # (m, 3D) cd
+        if qkv_all is not None:
+            qkv = qkv_all[lo:lo + m, :]                 # (m, 3D) cd
+        else:  # f32: per-strip recompute keeps VMEM bounded
+            qkv = (jnp.dot(xs, wqkv, preferred_element_type=jnp.float32)
+                   + bqkv).astype(cd)
         q = qkv[:, :D]
         k = qkv[:, D:2 * D]
         v = qkv[:, 2 * D:]
@@ -398,7 +409,10 @@ def _fused_backward(x, mask, w_qkv, b_qkv, w_out, b_out, g,
     else:
         _, a_pad = _pick_packing(A, r_blk)
     if strip_rows is None:
-        strip_rows = _pick_bwd_strip(r_blk, a_pad)
+        # f32 doubles every per-strip temporary, so cap it at the forward's
+        # 128-token strip rather than the 160-token bf16 optimum
+        strip_rows = _pick_strip(r_blk, a_pad) \
+            if compute_dtype == jnp.float32 else _pick_bwd_strip(r_blk, a_pad)
     rows_pad = ((rows + r_blk - 1) // r_blk) * r_blk
     n = r_blk * a_pad
     num_blocks = rows_pad // r_blk
@@ -466,10 +480,16 @@ def fused_graph_attention(x, mask, w_qkv, b_qkv, w_out, b_out,
     _fused_diffable for the VJP story. ``bwd_strip_rows`` lets the backward
     kernel use a larger strip than the forward: the bwd's per-strip
     projection-sized matmuls (qkv recompute, dx, dW) dominate its time, so
-    fewer/larger strips win there while the forward's optimum stays small."""
+    fewer/larger strips win there while the forward's optimum stays small.
+    When ``bwd_strip_rows`` is None an explicit ``strip_rows`` applies to
+    BOTH passes (the pre-r4 semantics, so strip sweeps tune the backward
+    too); with both None each pass picks its own default (_pick_strip /
+    _pick_bwd_strip)."""
     static = (num_heads, r_blk,
               "bf16" if compute_dtype == jnp.bfloat16 else "f32",
-              strip_rows, bwd_strip_rows, interpret)
+              strip_rows,
+              bwd_strip_rows if bwd_strip_rows is not None else strip_rows,
+              interpret)
     return _fused_diffable(x, mask, w_qkv, b_qkv, w_out, b_out, static)
 
 

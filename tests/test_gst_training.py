@@ -111,6 +111,11 @@ def test_trainer_resume_parity(records, tmp_path):
                                  str(tmp_path / "b"), **kw, resume_epoch=2)
     jax.tree.map(lambda a, b: np.testing.assert_allclose(a, b, atol=1e-6),
                  p_straight, p_resumed)
+    # tfevents sidecar (reference tensorboardX scalars, gst train.py:192-194)
+    tb = tmp_path / "a" / "tensorboard"
+    assert any(f.name.startswith("events.out.tfevents")
+               for d in [tb, *tb.iterdir()] if d.is_dir()
+               for f in d.iterdir())
 
 
 def test_fused_epoch_matches_host_loop(records, tmp_path):

@@ -1,0 +1,66 @@
+"""Smoke tests for the gym-style adapter (reference crowd_sim/__init__.py:1-31)."""
+
+import numpy as np
+import pytest
+
+from crowdnav_prediction_attngraph_tpu.env import gym_adapter
+
+
+def _small(**kw):
+    return dict(human_num=5, human_num_range=0, **kw)
+
+
+def test_varnum_episode_runs():
+    env = gym_adapter.make("CrowdSimVarNum-v0", **_small())
+    obs, info = env.reset(seed=0)
+    assert set(obs) == {"robot_node", "temporal_edges", "spatial_edges",
+                        "visible_masks", "detected_human_num"}
+    assert obs["robot_node"].shape == (7,)
+    assert obs["spatial_edges"].shape == (5, 2)
+    total = 0.0
+    for _ in range(20):
+        obs, r, term, trunc, info = env.step(np.array([0.3, 0.0]))
+        total += r
+        assert np.isfinite(r)
+        assert {"outcome", "in_danger", "min_dist", "global_time"} <= set(info)
+        if term or trunc:
+            break
+    env.close()
+
+
+def test_pred_env_spatial_edges_width():
+    env = gym_adapter.make("CrowdSimPred-v0", **_small())
+    obs, _ = env.reset(seed=1)
+    # 2*(K+1) with K=5 predict steps (crowd_sim_pred.py:50-52)
+    assert obs["spatial_edges"].shape == (5, 12)
+    obs, r, term, trunc, _ = env.step(np.array([0.0, 0.5]))
+    assert obs["spatial_edges"].shape == (5, 12)
+    env.close()
+
+
+def test_scripted_robot_policy_reaches_goal():
+    env = gym_adapter.make("CrowdSimVarNum-v0", robot_policy="orca", **_small())
+    env.reset(seed=2)
+    outcome = None
+    for _ in range(env.cfg.max_episode_steps):
+        _, _, term, trunc, info = env.step(np.zeros(2))
+        if term or trunc:
+            outcome = info["outcome"]
+            break
+    assert outcome is not None  # episode terminates under the scripted policy
+
+
+def test_gst_env_requires_params():
+    with pytest.raises(ValueError, match="gst_params"):
+        gym_adapter.make("CrowdSimPredRealGST-v0", **_small())
+
+
+def test_reset_required_before_step():
+    env = gym_adapter.make("CrowdSimVarNum-v0", **_small())
+    with pytest.raises(RuntimeError):
+        env.step(np.zeros(2))
+
+
+def test_unknown_id_rejected():
+    with pytest.raises(ValueError):
+        gym_adapter.make("Nope-v0")
