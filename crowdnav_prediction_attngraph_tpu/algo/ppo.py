@@ -91,13 +91,23 @@ def rollout(cfg: Config, ts: TrainState, gst_params=None, phase="train"
     """T-step fused rollout (train.py:152-199)."""
     T = cfg.ppo.num_steps
 
+    # linear warmup of the unicycle spin-penalty coefficient (static branch:
+    # the default warmup=0 path traces the exact same program as before)
+    spin_coef = None
+    if (cfg.reward.spin_penalty_warmup_steps > 0
+            and cfg.action_space.kinematics == "unicycle"
+            and phase == "train"):
+        frac = jnp.clip(ts.total_steps.astype(jnp.float32)
+                        / cfg.reward.spin_penalty_warmup_steps, 0.0, 1.0)
+        spin_coef = cfg.reward.spin_penalty_factor * frac
+
     def step_fn(carry, _):
         env_states, obs, hxs, masks, key, ep_ret, ep_ret_env = carry
         key, k_act = jax.random.split(key)
         value, action, log_prob, hxs_new = policy_mod.act(
             cfg, ts.params, obs, hxs, masks, k_act)
         env_states, obs_next, rew, done, info, penalty = vector.vec_step(
-            cfg, env_states, action, phase, gst_params)
+            cfg, env_states, action, phase, gst_params, spin_coef=spin_coef)
         ep_ret_next = ep_ret + rew
         ep_env_next = ep_ret_env + rew - penalty
         done_ret = jnp.where(done, ep_ret_next, jnp.nan)

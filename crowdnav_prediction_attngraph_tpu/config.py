@@ -41,6 +41,14 @@ class RewardConfig:
     discomfort_dist: float = 0.25         # config.py:34
     discomfort_penalty_factor: float = 10.0  # config.py:35
     gamma: float = 0.99                   # config.py:36
+    # unicycle spin penalty -c * r^2 (crowd_sim_var_num.py:551, c = 4.5).
+    # With warmup > 0 the TRAINING rollout anneals c linearly from 0 over
+    # the first `spin_penalty_warmup_steps` env steps — the full-strength
+    # penalty dominates early exploration and freezes turning before
+    # collision avoidance can be learned (r4 unicycle NOTES.md); eval and
+    # the non-warmup path apply the constant reference coefficient.
+    spin_penalty_factor: float = 4.5
+    spin_penalty_warmup_steps: int = 0
 
 
 @_frozen

@@ -351,9 +351,13 @@ def generate_ob(cfg: Config, state: EnvState, reset: bool
 # --------------------------------------------------------------------------
 
 def calc_reward(cfg: Config, state: EnvState, action_v, action_r, future_traj,
-                phase: str):
+                phase: str, spin_coef=None):
     """R(s, a) (crowd_sim_var_num.py:465-561 + social term
-    crowd_sim_pred.py:216-233). Returns (reward, done, StepInfo)."""
+    crowd_sim_pred.py:216-233). Returns (reward, done, StepInfo).
+
+    ``spin_coef``: optional dynamic override of the unicycle spin-penalty
+    coefficient (reward.spin_penalty_factor) — the training rollout anneals
+    it via total_steps when reward.spin_penalty_warmup_steps > 0."""
     active = _active_mask(cfg, state.human_num)
     d = jnp.linalg.norm(state.humans.pos - state.robot.pos, axis=-1) \
         - state.humans.radius - state.robot.radius
@@ -403,7 +407,9 @@ def calc_reward(cfg: Config, state: EnvState, action_v, action_r, future_traj,
     new_potential = jnp.where(took_pot, -jnp.abs(pot_cur), state.potential)
 
     if unicycle:
-        r_spin = -4.5 * action_r ** 2                     # crowd_sim_var_num.py:551
+        coef = cfg.reward.spin_penalty_factor if spin_coef is None \
+            else spin_coef
+        r_spin = -coef * action_r ** 2                    # crowd_sim_var_num.py:551
         r_back = jnp.where(action_v < 0, -2.0 * jnp.abs(action_v), 0.0)
         reward = reward + r_spin + r_back
 
@@ -651,7 +657,7 @@ def scripted_robot_action(cfg: Config, state: EnvState, policy: str):
 
 
 def step(cfg: Config, state: EnvState, action, phase: str = "train",
-         robot_policy: str = "network", human_actions=None
+         robot_policy: str = "network", human_actions=None, spin_coef=None
          ) -> Tuple[EnvState, Observation, jnp.ndarray, jnp.ndarray, StepInfo]:
     """One control step (crowd_sim_var_num.py:366-460 / crowd_sim_pred.py:100-213).
 
@@ -692,7 +698,8 @@ def step(cfg: Config, state: EnvState, action, phase: str = "train",
         state = state.replace(human_future_traj=future)
 
     reward, done, new_potential, info = calc_reward(
-        cfg, state, action_v, action_r, state.human_future_traj, phase)
+        cfg, state, action_v, action_r, state.human_future_traj, phase,
+        spin_coef=spin_coef)
     state = state.replace(potential=new_potential)
 
     # integrate robot + humans

@@ -52,7 +52,7 @@ def batched_human_actions(cfg: Config, states: EnvState):
 
 
 def vec_step(cfg: Config, states: EnvState, actions, phase: str = "train",
-             gst_params=None):
+             gst_params=None, spin_coef=None):
     """Batched step with auto-reset. Returns (states', obs', rewards (B,),
     dones (B,), infos, pretext_penalties (B,)) — the penalty component is
     reported separately so episode-reward metrics can match the reference's
@@ -60,11 +60,13 @@ def vec_step(cfg: Config, states: EnvState, actions, phase: str = "train",
     human_actions = batched_human_actions(cfg, states)
     if human_actions is None:
         states, obs, rew, done, info = jax.vmap(
-            lambda s, a: crowd_sim.step(cfg, s, a, phase))(states, actions)
+            lambda s, a: crowd_sim.step(cfg, s, a, phase,
+                                        spin_coef=spin_coef))(states, actions)
     else:
         states, obs, rew, done, info = jax.vmap(
             lambda s, a, h: crowd_sim.step(cfg, s, a, phase,
-                                           human_actions=h))(
+                                           human_actions=h,
+                                           spin_coef=spin_coef))(
                 states, actions, human_actions)
 
     # auto-reset (worker semantics: obs of done envs is the new episode's

@@ -27,6 +27,25 @@ from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = -1e30
 
+import os
+
+
+def _bwd_compiler_params():
+    """Raised scoped-VMEM cap for the BACKWARD kernel only.
+
+    Round-5 measurements (results/logs/r5_tune_*.log): granting the kernel
+    more VMEM (vmem_limit_bytes) lets backward strips of 320-640 tokens
+    compile (the r4 'HTTP 500' wall), but none of them beat the 160-token
+    default — and applying the same raised cap to the FORWARD costs ~8%
+    (602 -> 557 Me/s at rows=1920), so the forward keeps the compiler
+    default. r_blk=64 dies in the remote compile helper with 'exit signal'
+    regardless of any VMEM flag — a toolchain robustness wall, not a
+    budget. Override via PALLAS_BWD_VMEM_LIMIT_MB (0 = compiler default)."""
+    mb = int(os.environ.get("PALLAS_BWD_VMEM_LIMIT_MB", "100"))
+    if mb <= 0:
+        return None
+    return pltpu.CompilerParams(vmem_limit_bytes=mb * 1024 * 1024)
+
 
 def _attn_kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, a_pad: int,
                  r_blk: int, hd: int, scale: float, strip_rows: int):
@@ -226,13 +245,15 @@ def _pick_strip(r_blk: int, a_pad: int) -> int:
 
 def _pick_bwd_strip(r_blk: int, a_pad: int) -> int:
     """Backward strip default: the bwd's per-strip projection-sized matmuls
-    (dattn, dx, dW) dominate, so larger strips win there — measured 10.7 vs
-    11.4 ms fwd+bwd at rows=3840 for m=160 vs m=80. m > 160 tokens blows
-    the scoped-VMEM budget (the remote Mosaic compiler dies), hence the
-    160-token cap."""
+    (dattn, dx, dW) dominate, so larger strips win there — r4 measured
+    m=160 > m=80 (10.7 vs 11.4 ms fwd+bwd at rows=3840); r5, with the
+    backward's raised scoped-VMEM cap (_bwd_compiler_params), m=320
+    compiles and edges out m=160 (156.1 vs 151.5 Me/s fwd+bwd at
+    rows=1920, results/logs/r5_tune_c.log). m=640 regresses (137 Me/s),
+    hence the 320-token cap."""
     best = 1
     for g in range(1, r_blk + 1):
-        if r_blk % g == 0 and g * a_pad <= 160:
+        if r_blk % g == 0 and g * a_pad <= 320:
             best = g
     return best
 
@@ -464,6 +485,7 @@ def _fused_backward(x, mask, w_qkv, b_qkv, w_out, b_out, g,
             full((1, D)),
         ),
         interpret=interpret,
+        compiler_params=None if interpret else _bwd_compiler_params(),
     )(xp, mask_p, gp, wqkv_c, wo_c, b_qkv.reshape(1, -1))
 
     dx = dx.reshape(rows_pad, a_pad, D)[:rows, :A]

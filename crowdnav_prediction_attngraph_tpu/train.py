@@ -72,6 +72,10 @@ def build_config(args) -> Config:
     if getattr(args, "robot_v_pref", None):
         cfg = cfg.replace(robot=dataclasses.replace(
             cfg.robot, v_pref=args.robot_v_pref))
+    if getattr(args, "spin_warmup_steps", 0):
+        cfg = cfg.replace(reward=dataclasses.replace(
+            cfg.reward,
+            spin_penalty_warmup_steps=args.spin_warmup_steps))
     if getattr(args, "gst_matmul_dtype", None):
         # the production training recipe runs the predictor's inference
         # matmuls in bf16 (f32 softmax/renorm/accumulation) — recorded in the
@@ -147,6 +151,12 @@ def main(argv=None):
                         "0.035/2*35 = 0.6125 m/s (wheel clip, "
                         "ros_turtlebot2i_env.py:294-308), so unicycle "
                         "training for deployment should use <= 0.6")
+    p.add_argument("--spin-warmup-steps", type=int, default=0,
+                   help="anneal the unicycle spin penalty -4.5*r^2 "
+                        "(crowd_sim_var_num.py:551) linearly from 0 over "
+                        "this many env steps — full strength from step 0 "
+                        "suppresses the turning exploration that collision "
+                        "avoidance needs (r4 unicycle NOTES.md)")
     p.add_argument("--resume", default=None,
                    help="checkpoint directory to resume from")
     p.add_argument("--init-params-from", default=None,

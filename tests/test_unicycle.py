@@ -62,3 +62,47 @@ def test_unicycle_env_runs():
     # heading advanced by 10 * 0.06 from the random initial theta
     dtheta = (float(state.robot.theta) - theta0) % (2 * np.pi)
     assert dtheta == pytest.approx(0.6, abs=1e-4)
+
+
+def test_spin_penalty_anneal():
+    """spin_coef threads through step -> calc_reward: with coef 0 the spin
+    penalty -c*r^2 (crowd_sim_var_num.py:551) vanishes; the rollout's warmup
+    schedule reproduces the constant-coef reward at full warmup fraction."""
+    cfg = unicycle_cfg()
+    state, _ = jax.jit(lambda k: crowd_sim.reset(cfg, k))(jax.random.key(3))
+    a = jnp.array([0.02, 0.06])   # within clip: dv 0.02, dtheta 0.06
+    _, _, r_full, _, _ = crowd_sim.step(cfg, state, a, "train")
+    _, _, r_zero, _, _ = crowd_sim.step(cfg, state, a, "train",
+                                        spin_coef=jnp.float32(0.0))
+    # identical state/key -> rewards differ exactly by the spin term
+    np.testing.assert_allclose(float(r_full - r_zero), -4.5 * 0.06 ** 2,
+                               atol=1e-6)
+    # half-strength coefficient
+    _, _, r_half, _, _ = crowd_sim.step(cfg, state, a, "train",
+                                        spin_coef=jnp.float32(2.25))
+    np.testing.assert_allclose(float(r_half - r_zero), -2.25 * 0.06 ** 2,
+                               atol=1e-6)
+
+
+def test_spin_warmup_rollout_schedule():
+    """ppo.rollout computes the annealed coefficient from total_steps."""
+    from crowdnav_prediction_attngraph_tpu.algo import ppo as ppo_mod
+    cfg = unicycle_cfg()
+    cfg = cfg.replace(
+        reward=dataclasses.replace(cfg.reward,
+                                   spin_penalty_warmup_steps=1000),
+        ppo=dataclasses.replace(cfg.ppo, num_processes=2, num_steps=3))
+    ts = ppo_mod.init_train_state(cfg, jax.random.key(0))
+    # at total_steps=0 the spin coefficient is 0; at >= warmup it is full.
+    ts0 = ts.replace(total_steps=jnp.int32(0))
+    ts1 = ts.replace(total_steps=jnp.int32(2000))
+    _, b0 = jax.jit(lambda t: ppo_mod.rollout(cfg, t))(ts0)
+    _, b1 = jax.jit(lambda t: ppo_mod.rollout(cfg, t))(ts1)
+    cfg_const = cfg.replace(
+        reward=dataclasses.replace(cfg.reward, spin_penalty_warmup_steps=0))
+    _, bc = jax.jit(lambda t: ppo_mod.rollout(cfg_const, t))(ts1)
+    # full-warmup run matches the constant-coefficient program exactly
+    np.testing.assert_allclose(np.asarray(b1.rewards), np.asarray(bc.rewards),
+                               atol=1e-6)
+    # zero-step run pays no spin penalty -> reward never lower than full-coef
+    assert float(jnp.sum(b0.rewards)) >= float(jnp.sum(bc.rewards)) - 1e-6
