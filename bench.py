@@ -125,7 +125,23 @@ def bench_edges(rows: int, A: int = 20, D: int = 512, H: int = 8,
         out["edges_per_s_einsum_fwdbwd"] = edges / dt
         out["fused_mfu_einsum_fwdbwd"] = 3 * flops_fwd / dt / peak
     except Exception as e:
-        out["einsum_bwd_error"] = str(e).splitlines()[0][:120]
+        # at rows >= 7680 the chained einsum grad's saved intermediates
+        # (8 x ~100 MB logits tensors) crash the remote compile helper
+        # (r4's shipped error cell); rematerializing the chain body trades
+        # the saved logits for recompute and restores a compiling —
+        # slightly recompute-taxed, annotated — measurement.
+        try:
+            remat_fn = jax.checkpoint(reference_fused_graph_attention,
+                                      static_argnums=(6,))
+            g_ref = jax.jit(jax.grad(lambda x, wq, bq, wo, bo: jnp.sum(
+                chained(remat_fn)(x, wq, bq, wo, bo) ** 2),
+                argnums=(0, 1, 2, 3, 4)))
+            dt = _time(g_ref, x, w_qkv, b_qkv, w_out, b_out, iters=iters)
+            out["edges_per_s_einsum_fwdbwd"] = edges / dt
+            out["fused_mfu_einsum_fwdbwd"] = 3 * flops_fwd / dt / peak
+            out["einsum_bwd_remat"] = True
+        except Exception:
+            out["einsum_bwd_error"] = str(e).splitlines()[0][:120]
 
     try:
         f_pal = jax.jit(lambda x: chained(fused_graph_attention)(

@@ -73,17 +73,29 @@ def make_optimizer(cfg: Config):
 
 
 def init_train_state(cfg: Config, key, gst_params=None) -> TrainState:
+    """Build the initial TrainState under ONE jit.
+
+    Running the 256-env reset + flax init eagerly dispatched every jnp op
+    as its own tiny program through the remote TPU compiler — ~228 s of a
+    fresh container's cold start was exactly this (compile_report r4). One
+    fused program compiles in a fraction of that and is persistently
+    cached."""
     N = cfg.ppo.num_processes
-    key, k_env, k_par = jax.random.split(key, 3)
-    env_states, obs = vector.vec_reset_with_pretext(cfg, k_env, N, gst_params)
-    obs_d = obs_to_dict(obs)
-    params = policy_mod.init_params(cfg, k_par, obs_d)
-    tx = make_optimizer(cfg)
-    return TrainState(
-        params=params, opt_state=tx.init(params), env_states=env_states,
-        obs=obs_d, hxs=init_hidden(cfg, N), masks=jnp.ones((N,)), key=key,
-        ep_return=jnp.zeros((N,)), ep_return_env=jnp.zeros((N,)),
-        total_steps=jnp.zeros((), jnp.int32))
+
+    def build(key, gst_params):
+        key, k_env, k_par = jax.random.split(key, 3)
+        env_states, obs = vector.vec_reset_with_pretext(cfg, k_env, N,
+                                                        gst_params)
+        obs_d = obs_to_dict(obs)
+        params = policy_mod.init_params(cfg, k_par, obs_d)
+        tx = make_optimizer(cfg)
+        return TrainState(
+            params=params, opt_state=tx.init(params), env_states=env_states,
+            obs=obs_d, hxs=init_hidden(cfg, N), masks=jnp.ones((N,)),
+            key=key, ep_return=jnp.zeros((N,)), ep_return_env=jnp.zeros((N,)),
+            total_steps=jnp.zeros((), jnp.int32))
+
+    return jax.jit(build)(key, gst_params)
 
 
 def rollout(cfg: Config, ts: TrainState, gst_params=None, phase="train"
