@@ -64,3 +64,32 @@ def test_reset_required_before_step():
 def test_unknown_id_rejected():
     with pytest.raises(ValueError):
         gym_adapter.make("Nope-v0")
+
+
+def test_gst_env_with_selftrained_predictor():
+    """The flagship env family through the adapter, driven by the COMMITTED
+    self-trained predictor (results/gst_sj_tpu_r5_b64 — the round-5
+    reference-recipe retrain)."""
+    import os
+    ckpt = "results/gst_sj_tpu_r5_b64/epoch_100"
+    if not os.path.isdir(ckpt):
+        pytest.skip("committed predictor checkpoint not present")
+    from crowdnav_prediction_attngraph_tpu.config import gst_config
+    from crowdnav_prediction_attngraph_tpu.train import load_gst_params
+    cfg = gst_config(human_num=5, human_num_range=0)
+    gst_params = load_gst_params(cfg, ckpt)
+    env = gym_adapter.make("CrowdSimPredRealGST-v0", gst_params=gst_params,
+                           **_small())
+    obs, _ = env.reset(seed=0)
+    # 2*(K+1) spatial edges with K=5 predicted steps, rewritten by the
+    # fused pretext pass (vec_pretext_normalize semantics)
+    assert obs["spatial_edges"].shape == (5, 12)
+    assert np.isfinite(obs["spatial_edges"][obs["visible_masks"]]).all()
+    total = 0.0
+    for _ in range(6):
+        obs, r, term, trunc, info = env.step(np.array([0.2, 0.1]))
+        total += r
+        if term or trunc:
+            break
+    assert np.isfinite(total)
+    env.close()
