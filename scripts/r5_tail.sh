@@ -35,8 +35,4 @@ timeout 3000 python -u -m crowdnav_prediction_attngraph_tpu.models.gst.eval \
   > results/logs/gst_eval_refckpt_testmode.log 2>&1
 tail -1 results/logs/gst_eval_refckpt_testmode.log
 
-echo "[r5-tail] fresh-cache compile report $(date)"
-timeout 4000 python -u scripts/compile_report.py \
-  > results/logs/compile_report_r5.log 2>&1
-grep -v WARNING results/logs/compile_report_r5.log | tail -8
-echo "[r5-tail] done $(date)"
+echo "[r5-tail] done $(date)"  # compile report already run mid-round (results/logs/compile_report_r5.log)
