@@ -56,7 +56,7 @@ class CrowdNavGymEnv:
     mirroring the reference's robot.policy configs.
     """
 
-    metadata = {"render_modes": []}
+    metadata = {"render_modes": ["rgb_array"]}
 
     def __init__(self, cfg: Config, gst_params=None, phase: str = "test",
                  robot_policy: str = "network"):
@@ -69,6 +69,8 @@ class CrowdNavGymEnv:
         self._gst_params = gst_params
         self._state = None
         self._seed_counter = 0
+        self._render_fig = None
+        self._render_ax = None
 
         self._reset_fn = jax.jit(partial(self._raw_reset, cfg))
         self._step_fn = jax.jit(partial(self._raw_step, cfg, phase=phase,
@@ -134,8 +136,40 @@ class CrowdNavGymEnv:
         return (self._obs_to_numpy(obs), float(reward), terminated,
                 truncated, info_d)
 
+    def render(self, mode: str = "rgb_array"):
+        """Draw the current timestep (reference CrowdSim.render,
+        crowd_sim.py:750-873) and return it as an (H, W, 3) uint8 array."""
+        if mode != "rgb_array":
+            raise NotImplementedError(f"render mode {mode!r}; use 'rgb_array'")
+        if self._state is None:
+            raise RuntimeError("call reset() before render()")
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from ..utils.render import render_frame
+
+        s = self._state
+        if self._render_fig is None:
+            self._render_fig, self._render_ax = plt.subplots(figsize=(7, 7))
+        render_frame(
+            self._render_ax,
+            np.asarray(s.robot.pos), np.asarray(s.robot.goal),
+            float(s.robot.radius),
+            np.asarray(s.humans.pos), np.asarray(s.humans.radius),
+            np.asarray(s.visible_masks), self.cfg.robot.sensor_range,
+            int(s.human_num), arena_size=self.cfg.sim.arena_size)
+        fig = self._render_fig
+        fig.canvas.draw()
+        buf = np.asarray(fig.canvas.buffer_rgba())
+        return buf[..., :3].copy()
+
     def close(self):
         self._state = None
+        if self._render_fig is not None:
+            import matplotlib.pyplot as plt
+            plt.close(self._render_fig)
+            self._render_fig = None
 
     @staticmethod
     def _obs_to_numpy(obs):

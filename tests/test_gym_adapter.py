@@ -93,3 +93,17 @@ def test_gst_env_with_selftrained_predictor():
             break
     assert np.isfinite(total)
     env.close()
+
+
+def test_render_rgb_array():
+    env = gym_adapter.make("CrowdSimVarNum-v0", **_small())
+    env.reset(seed=3)
+    frame = env.render()
+    assert frame.dtype == np.uint8 and frame.ndim == 3 and frame.shape[2] == 3
+    env.step(np.array([0.2, 0.0]))
+    frame2 = env.render()
+    assert frame2.shape == frame.shape
+    with pytest.raises(NotImplementedError):
+        env.render(mode="human")
+    env.close()
+    assert env._render_fig is None
